@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory with the engine's scale-oriented defaults.
+ *
+ * The reference (see /root/reference/src/cehrbert_data/utils/spark_utils.py and
+ * cohorts/spark_app_base.py) creates bare `SparkSession.builder.getOrCreate()`
+ * sessions and leaves every knob at default; at 100 TB that means 200 shuffle
+ * partitions, no AQE skew handling, and ambient-timezone semantics. Here we pin:
+ *
+ *  - AQE on (runtime coalescing + skew-join splitting) so the same plan survives
+ *    a 1000-executor cluster with skewed person/user keys;
+ *  - UTC session timezone — the reference relies on ambient TZ, which breaks
+ *    oracle comparisons and cross-site reproducibility;
+ *  - `nanosAsLong` so parquet TIMESTAMP(NANOS) columns (increasingly common from
+ *    arrow writers) load instead of erroring; [[Tables]] restores TimestampType.
+ */
+object GraftSession {
+
+  /** Apply engine defaults to an arbitrary builder (used by Verify/Bench mains). */
+  def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft"): SparkSession = {
+    val s = withDefaults(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Ensure runtime-settable engine confs on an externally created session. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

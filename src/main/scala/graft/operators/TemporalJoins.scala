@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Interval (range) joins and as-of / nearest-match joins (SURVEY §2.3 J6/J7).
+ *
+ * The reference attaches events to visits by joining on person and a
+ * `BETWEEN visit_start-1d AND visit_end+1d` residual, then keeps the best
+ * candidate with a `row_number` window (/root/reference/src/cehrbert_data/
+ * utils/spark_utils.py:740-752, tools/ehrshot_to_omop.py:497-511).
+ *
+ * Scale notes: ALWAYS carry an equi key (person/user) next to the range
+ * predicate — Catalyst then plans a shuffled hash/sort-merge join on the equi
+ * key with the range as a residual filter, instead of a broadcast-nested-loop
+ * over the whole table. The window dedup shuffles on the left row id, which is
+ * already the join output partitioning, so AQE usually elides the extra
+ * exchange. For the no-equi-key case at 100 TB, bucketize the time dimension
+ * (see [[bucketedRangeJoin]]) to restore an equi key.
+ */
+object TemporalJoins {
+
+  /** Inner range join: left rows paired with right rows whose
+    * `[rightStart, rightEnd]` interval contains `leftTs`, with mandatory
+    * equi keys to keep the join hash-partitioned. */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftKeys: Seq[String],
+                rightKeys: Seq[String], leftTs: Column, rightStart: Column,
+                rightEnd: Column): DataFrame = {
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _)
+    left.join(right, keyCond && leftTs.between(rightStart, rightEnd))
+  }
+
+  /**
+   * As-of join (backward): for each left row, the single most recent right
+   * row with `rightTs <= leftTs` within the same equi-key group.
+   *
+   * @param leftId     unique id column names on the left (window partition for
+   *                   the top-1 dedup)
+   * @param tieBreak   extra right-side ordering after recency, for determinism
+   */
+  def asOfBackward(left: DataFrame, right: DataFrame, leftKeys: Seq[String],
+                   rightKeys: Seq[String], leftTs: Column, rightTs: Column,
+                   leftId: Seq[String], tieBreak: Seq[Column] = Nil): DataFrame = {
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _)
+    val joined = left.join(right, keyCond && (rightTs <= leftTs))
+    val w = Window.partitionBy(leftId.map(col): _*)
+      .orderBy((rightTs.desc +: tieBreak): _*)
+    joined.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+  }
+
+  /**
+   * Nearest-match join: like as-of but keeps the candidate minimizing
+   * `abs(rightTs - leftTs)` regardless of direction
+   * (reference ehrshot_to_omop.py:502-511 `matching_rank`).
+   */
+  def nearest(left: DataFrame, right: DataFrame, leftKeys: Seq[String],
+              rightKeys: Seq[String], leftTs: Column, rightTs: Column,
+              leftId: Seq[String], toleranceSec: Option[Long] = None,
+              tieBreak: Seq[Column] = Nil): DataFrame = {
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _)
+    val dist = abs(unix_timestamp(rightTs) - unix_timestamp(leftTs))
+    val cond = toleranceSec.map(t => keyCond && dist <= t).getOrElse(keyCond)
+    val joined = left.join(right, cond)
+    val w = Window.partitionBy(leftId.map(col): _*)
+      .orderBy((dist.asc +: tieBreak): _*)
+    joined.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+  }
+
+  /**
+   * Range join without a natural equi key: bucket both sides by time so the
+   * join becomes equi on (bucket) with the range residual. Right intervals
+   * are exploded into every bucket they overlap; results are distinct on the
+   * pair id columns. This is the 100 TB fallback when intervals are short
+   * relative to `bucketSeconds` — pick the bucket ≈ p99 interval length.
+   */
+  def bucketedRangeJoin(left: DataFrame, right: DataFrame, leftTs: Column,
+                        rightStart: Column, rightEnd: Column,
+                        bucketSeconds: Long): DataFrame = {
+    val lb = left.withColumn("__bucket", floor(unix_timestamp(leftTs) / bucketSeconds))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(floor(unix_timestamp(rightStart) / bucketSeconds),
+        floor(unix_timestamp(rightEnd) / bucketSeconds))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(leftTs.between(rightStart, rightEnd))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/**
+ * Approximate-nearest-neighbor search over an `array<float>` embedding column.
+ *
+ * - [[bruteForceTopK]]: exact cosine top-k via a join + window top-k — the
+ *   correctness baseline. All-pairs, so only for small/query-side-broadcast
+ *   workloads.
+ * - [[lshTopK]]: the scale path — random-hyperplane LSH buckets (with
+ *   multi-probe via several independent tables) restrict the pair space to
+ *   same-bucket candidates; one equi-join shuffle on the bucket key.
+ * - [[ivfTopK]]: IVF-style — k-means-lite centroids sampled from the corpus,
+ *   vectors assigned to nearest centroid; queries probe `nProbe` nearest
+ *   cells. Centroid assignment is a broadcast join (centroid table is tiny).
+ */
+object Knn {
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold
+    * among LSH-bucket candidates (exact under the bucket approximation). */
+  def cosineNearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dims: Int, planes: Int = 12,
+                           tables: Int = 3): DataFrame = {
+    val cands = lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
+      .filter(col("left_id") < col("right_id"))
+    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    cands
+      .join(v.withColumnRenamed("__id", "left_id").withColumnRenamed("__v", "__vl"), "left_id")
+      .join(v.withColumnRenamed("__id", "right_id").withColumnRenamed("__v", "__vr"), "right_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("__vl"), col("__vr")))
+      .filter(col("cosine") >= threshold)
+      .select("left_id", "right_id", "cosine")
+  }
+
+  /** Exact top-k neighbors for every query vector (excludes self-matches on id). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Same-bucket candidate pairs under `tables` independent hyperplane tables. */
+  def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
+                    planes: Int, tables: Int): DataFrame = {
+    val keyed = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table_idx"),
+          VectorFunctions.hyperplaneLshKey(col("__v"), dims, planes,
+            seed = 42L + t).as("bucket"))
+      }: _*)).as("__k"))
+      .select(col("__id"), col("__k.table_idx").as("table_idx"),
+        col("__k.bucket").as("bucket"))
+    val a = keyed.select(col("table_idx"), col("bucket"), col("__id").as("left_id"))
+    val b = keyed.select(col("table_idx"), col("bucket"), col("__id").as("right_id"))
+    a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select("left_id", "right_id").distinct()
+  }
+
+  /** Approximate top-k via LSH candidates (recall grows with planes↓ / tables↑). */
+  def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
+              planes: Int = 10, tables: Int = 4): DataFrame = {
+    val cands = lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
+    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val scored = cands
+      .join(v.withColumnRenamed("__id", "left_id").withColumnRenamed("__v", "__vl"), "left_id")
+      .join(v.withColumnRenamed("__id", "right_id").withColumnRenamed("__v", "__vr"), "right_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("__vl"), col("__vr")))
+      .select(col("left_id").as("query_id"), col("right_id").as("neighbor_id"),
+        col("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * IVF-style ANN: `nCells` centroids taken as a deterministic sample of the
+   * corpus; every vector is assigned to its nearest centroid (broadcast join —
+   * the centroid table is tiny); queries probe the `nProbe` nearest cells.
+   */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // deterministic "centroids": first nCells ids (k-means refinement is an
+    // optional later pass; cell assignment mechanics are identical)
+    val centroids = v.orderBy(col("__id")).limit(nCells)
+      .select(col("__id").as("cell_id"), col("__v").as("__cv"))
+    val assign = v.crossJoin(broadcast(centroids))
+      .withColumn("__d", VectorFunctions.sqDist(col("__v"), col("__cv")))
+    val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)
+    val cells = assign.withColumn("__r", row_number().over(wAssign))
+    val members = cells.filter(col("__r") === 1)
+      .select(col("cell_id"), col("__id").as("neighbor_id"), col("__v").as("__nv"))
+    val probes = cells.filter(col("__r") <= nProbe)
+      .select(col("cell_id"), col("__id").as("query_id"), col("__v").as("__qv"))
+    val scored = probes.join(members, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}
