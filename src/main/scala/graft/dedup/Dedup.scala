@@ -42,8 +42,13 @@ object Dedup {
    */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, text: Column,
                    n: Int = 3): DataFrame = {
+    // Shingles are hashed to 64-bit ints once per document, so the per-pair
+    // array_intersect compares longs instead of strings — the pair join is
+    // the quadratic part, so per-element cost there dominates everything.
+    // (xxhash64 collisions within one document's shingle set are ~1e-15.)
     val sh = docs.select(col(idCol).as("__id"),
-      array_distinct(TextFunctions.shingles(text, n)).as("__sh"))
+      array_distinct(transform(TextFunctions.shingles(text, n), s => xxhash64(s)))
+        .as("__sh"))
     val leftId = pairs.columns(0)
     val rightId = pairs.columns(1)
     pairs

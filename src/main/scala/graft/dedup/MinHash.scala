@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{Exprs, TextFunctions}
 
 /**
  * MinHash + LSH near-duplicate detection (shingle → minhash signature → band
@@ -26,15 +26,26 @@ object MinHash {
     Seq.fill(k)((1L + rnd.nextLong(Prime - 1), rnd.nextLong(Prime)))
   }
 
-  /** MinHash signature (array<bigint> of length k) of word n-gram shingles. */
+  /**
+   * MinHash signature (array<bigint> of length k) of word n-gram shingles.
+   *
+   * The shingle-hash base array is let-bound so tokenize→shingle→xxhash64
+   * runs once per row (not once per permutation), and the k permutations
+   * index literal coefficient arrays — the expression tree stays O(1) in k,
+   * so codegen stays small and per-row work is k·|shingles| integer ops.
+   */
   def signature(text: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column = {
-    val sh = array_distinct(TextFunctions.shingles(text, n))
-    val base = transform(sh, s => pmod(xxhash64(s), lit(Prime)))
-    val sig = coeffs(k, seed).map { case (a, b) =>
-      array_min(transform(base, x => pmod(x * a + b, lit(Prime))))
+    val cs = coeffs(k, seed)
+    val aArr = typedlit(cs.map(_._1))
+    val bArr = typedlit(cs.map(_._2))
+    Exprs.let(transform(array_distinct(TextFunctions.shingles(text, n)),
+        s => pmod(xxhash64(s), lit(Prime)))) { base =>
+      // empty docs get a sentinel signature so they only collide with each other
+      when(size(base) === 0, array_repeat(lit(-1L), k)).otherwise(
+        transform(sequence(lit(1), lit(k)), i =>
+          array_min(transform(base,
+            x => pmod(x * element_at(aArr, i) + element_at(bArr, i), lit(Prime))))))
     }
-    // empty docs get a sentinel signature so they only collide with each other
-    when(size(sh) === 0, array_repeat(lit(-1L), k)).otherwise(array(sig: _*))
   }
 
   /** Explode a signature into (band_idx, band_hash) LSH bucket keys. */
@@ -71,7 +82,10 @@ object MinHash {
   def nearDuplicates(docs: DataFrame, idCol: String, text: Column,
                      threshold: Double, n: Int = 3, bands: Int = 8,
                      rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    // Candidate pairs are a tiny fraction of the corpus — persist them so the
+    // exact-Jaccard verify join doesn't re-run the full shingle+band plan.
     val cands = candidatePairs(docs, idCol, text, n, bands, rowsPerBand, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.ngramJaccard(cands, docs, idCol, text, n)
       .filter(col("jaccard") >= threshold)
   }

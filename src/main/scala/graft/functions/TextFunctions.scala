@@ -48,11 +48,11 @@ object TextFunctions {
   }
 
   /** Mean token length in characters (0 for empty docs). */
-  def meanTokenLen(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0))
-      .otherwise(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
-  }
+  def meanTokenLen(text: Column): Column =
+    Exprs.let(tokens(text)) { ts =>
+      when(size(ts) === 0, lit(0.0))
+        .otherwise(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+    }
 
   private val EnglishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
@@ -60,10 +60,11 @@ object TextFunctions {
 
   /** Fraction of tokens that are (English) stopwords — a standard fluency signal. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val ts = tokens(text)
     val stop = typedlit(stopwords)
-    when(size(ts) === 0, lit(0.0))
-      .otherwise(size(filter(ts, t => array_contains(stop, t))).cast("double") / size(ts))
+    Exprs.let(tokens(text)) { ts =>
+      when(size(ts) === 0, lit(0.0))
+        .otherwise(size(filter(ts, t => array_contains(stop, t))).cast("double") / size(ts))
+    }
   }
 
   /**
@@ -99,31 +100,43 @@ object TextFunctions {
    * Heuristic language ID: the language with the most stopword-marker hits;
    * "und" (undetermined) when nothing matches. Ties broken by the fixed
    * language order above, so the result is deterministic.
+   *
+   * Tokens and the per-language score vector are each let-bound so the text
+   * is tokenized once per row and each marker set scanned once — naively
+   * inlining the score trees into the greatest/when chain re-tokenizes the
+   * document dozens of times per row.
    */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
-    val best = greatest(scores.map(_._2): _*)
-    val picked = scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
-      when(s === best && best > 0 && acc === "und", lit(l)).otherwise(acc)
+  def langId(text: Column): Column =
+    Exprs.let(tokens(text)) { ts =>
+      val scoreArr = array(LangMarkers.map { case (_, m) =>
+        size(filter(ts, t => array_contains(typedlit(m), t)))
+      }: _*)
+      Exprs.let(scoreArr) { sc =>
+        val s = (1 to LangMarkers.size).map(i => element_at(sc, i))
+        val best = greatest(s: _*)
+        // first max wins: later whens only fire when acc is still "und"
+        LangMarkers.map(_._1).zip(s).foldLeft(lit("und")) { case (acc, (l, si)) =>
+          when(si === best && best > 0 && acc === "und", lit(l)).otherwise(acc)
+        }
+      }
     }
-    // foldLeft keeps the FIRST max because later whens only fire on acc==="und"
-    picked
-  }
 
-  /** Word n-gram shingles (space-joined); empty array when fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles (space-joined); empty array when fewer than n tokens.
+    * The token array is let-bound OUTSIDE the per-shingle lambda — inlining it
+    * there re-tokenizes the whole document once per shingle (O(len²)). */
+  def shingles(text: Column, n: Int): Column =
+    Exprs.let(tokens(text)) { ts =>
+      when(size(ts) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+    }
 
-  /** Character n-gram shingles of the normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), length(t) - n + 1), i => t.substr(i, lit(n))))
-  }
+  /** Character n-gram shingles of the normalized text (same let-binding rationale). */
+  def charShingles(text: Column, n: Int): Column =
+    Exprs.let(lower(text)) { t =>
+      when(length(t) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), length(t) - n + 1), i => t.substr(i, lit(n))))
+    }
 
   /** 64-bit content fingerprint of whitespace-normalized text (exact dedup key). */
   def fingerprint(text: Column): Column =

@@ -21,6 +21,19 @@ import graft.functions.VectorFunctions
  */
 object Knn {
 
+  /** (id, vec, norm) projection: the L2 norm is computed once per vector
+    * BEFORE any pair join — recomputing it per pair multiplies the dominant
+    * cost of every similarity join by ~4×. */
+  private def withNorm(vecs: DataFrame, idCol: String, vecCol: String,
+                       id: String, v: String, n: String): DataFrame =
+    vecs.select(col(idCol).as(id), col(vecCol).as(v),
+      VectorFunctions.l2Norm(col(vecCol)).as(n))
+
+  /** Pair-side cosine from precomputed norms: only the dot product runs per pair. */
+  private def pairCosine(vl: Column, nl: Column, vr: Column, nr: Column): Column =
+    when(nl === 0.0 || nr === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(vl, vr) / (nl * nr))
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold
     * among LSH-bucket candidates (exact under the bucket approximation). */
   def cosineNearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
@@ -28,11 +41,11 @@ object Knn {
                            tables: Int = 3): DataFrame = {
     val cands = lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
       .filter(col("left_id") < col("right_id"))
-    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val v = withNorm(vecs, idCol, vecCol, "__id", "__v", "__n")
     cands
-      .join(v.withColumnRenamed("__id", "left_id").withColumnRenamed("__v", "__vl"), "left_id")
-      .join(v.withColumnRenamed("__id", "right_id").withColumnRenamed("__v", "__vr"), "right_id")
-      .withColumn("cosine", VectorFunctions.cosine(col("__vl"), col("__vr")))
+      .join(v.toDF("left_id", "__vl", "__nl"), "left_id")
+      .join(v.toDF("right_id", "__vr", "__nr"), "right_id")
+      .withColumn("cosine", pairCosine(col("__vl"), col("__nl"), col("__vr"), col("__nr")))
       .filter(col("cosine") >= threshold)
       .select("left_id", "right_id", "cosine")
   }
@@ -40,10 +53,10 @@ object Knn {
   /** Exact top-k neighbors for every query vector (excludes self-matches on id). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", pairCosine(col("__qv"), col("__qn"), col("__cv"), col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -73,11 +86,11 @@ object Knn {
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
               planes: Int = 10, tables: Int = 4): DataFrame = {
     val cands = lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
-    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val v = withNorm(vecs, idCol, vecCol, "__id", "__v", "__n")
     val scored = cands
-      .join(v.withColumnRenamed("__id", "left_id").withColumnRenamed("__v", "__vl"), "left_id")
-      .join(v.withColumnRenamed("__id", "right_id").withColumnRenamed("__v", "__vr"), "right_id")
-      .withColumn("cosine", VectorFunctions.cosine(col("__vl"), col("__vr")))
+      .join(v.toDF("left_id", "__vl", "__nl"), "left_id")
+      .join(v.toDF("right_id", "__vr", "__nr"), "right_id")
+      .withColumn("cosine", pairCosine(col("__vl"), col("__nl"), col("__vr"), col("__nr")))
       .select(col("left_id").as("query_id"), col("right_id").as("neighbor_id"),
         col("cosine"))
     val w = Window.partitionBy(col("query_id"))
@@ -102,12 +115,14 @@ object Knn {
     val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)
     val cells = assign.withColumn("__r", row_number().over(wAssign))
     val members = cells.filter(col("__r") === 1)
-      .select(col("cell_id"), col("__id").as("neighbor_id"), col("__v").as("__nv"))
+      .select(col("cell_id"), col("__id").as("neighbor_id"), col("__v").as("__nv"),
+        VectorFunctions.l2Norm(col("__v")).as("__nn"))
     val probes = cells.filter(col("__r") <= nProbe)
-      .select(col("cell_id"), col("__id").as("query_id"), col("__v").as("__qv"))
+      .select(col("cell_id"), col("__id").as("query_id"), col("__v").as("__qv"),
+        VectorFunctions.l2Norm(col("__v")).as("__qn"))
     val scored = probes.join(members, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__nv")))
+      .withColumn("cosine", pairCosine(col("__qv"), col("__qn"), col("__nv"), col("__nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
