@@ -42,6 +42,11 @@ object Tables {
   def loadNormalized(spark: SparkSession, dir: String, name: String): DataFrame =
     normalize(load(spark, dir, name))
 
+  /** Lowercase every column name, nothing else (reference rollups lowercase
+    * without the date casts — vocab_utils.py:95,129). */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.select(df.schema.fieldNames.map(n => col(n).as(n.toLowerCase)).toIndexedSeq: _*)
+
   /**
    * Lowercase all columns; cast `*date*`→date, `*datetime*`→timestamp.
    * Reference: spark_utils.py:252-260 (plus the CDM 5.2→5.3 rename at :262-265,
