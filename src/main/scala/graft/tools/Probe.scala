@@ -1,29 +1,33 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
 import graft.core.GraftSession
-import graft.omop.GenerateTrainingData
+import graft.functions.TimeTokens.AttType
+import graft.omop.{GenerateTrainingData, OmopSchema}
 
-/** Scratch probe main for quick local experiments. */
+/** Scratch probe main for quick local experiments: runs the pre-training
+  * pipeline with the reference integration test's exact configuration for
+  * golden output comparison. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "probe")
     spark.sparkContext.setLogLevel("WARN")
 
-    // End-to-end pre-training pipeline over the reference's bundled sample
-    // OMOP parquet (read-only input; outputs to /tmp).
     val cfg = GenerateTrainingData.Config(
       inputFolder = "/root/reference/sample_data/omop_sample",
-      outputFolder = Some("/tmp/graft_omop_out"))
+      outputFolder = Some("/tmp/graft_omop_out2"),
+      domainTableList = Seq(OmopSchema.ConditionOccurrence, OmopSchema.DrugExposure,
+        OmopSchema.ProcedureOccurrence),
+      dateFilter = Some("1985-01-01"),
+      includeVisitType = true,
+      attType = AttType.Day,
+      inpatientAttType = AttType.Day,
+      excludeDemographic = false,
+      includeInpatientHourToken = true,
+      applyAgeFilter = true,
+      withDrugRollup = true)
     val seq = GenerateTrainingData.run(spark, cfg, gptPatientSequence = true)
-    seq.cache()
-    println("[probe] patients=" + seq.count())
-    seq.select(col("person_id"), col("num_of_visits"), col("num_of_concepts"),
-        slice(col("concept_ids"), 1, 12).as("first_tokens"))
-      .orderBy("person_id").show(25, false)
-    GenerateTrainingData.write(spark, cfg, seq, "/tmp/graft_omop_out")
-    println("[probe] wrote /tmp/graft_omop_out/patient_sequence")
+    GenerateTrainingData.write(spark, cfg, seq, "/tmp/graft_omop_out2")
+    println("[probe] wrote /tmp/graft_omop_out2/patient_sequence")
     spark.stop()
   }
 }
