@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Tables}
 import graft.dedup.{Dedup, MinHash, SimHash}
 import graft.functions.{TextFunctions => TF, TimeTokens, VectorFunctions => VF}
+import graft.multimodal.Multimodal
 import graft.operators._
 import graft.similarity.Knn
 
@@ -342,6 +343,166 @@ object SparkEntry {
     // LSH-bucketed approximate top-k — the 100 TB scale path; rows-only check.
     "knn2_lsh_top3" -> ((s, dir) => {
       Knn.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3, dims = 64)
+    }),
+
+    // §2.5 W1/W2: per-entity event order (row_number) + record rank (dense_rank).
+    "w1_event_order" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("event_order", row_number().over(w).cast("long"))
+        .withColumn("record_rank", dense_rank().over(w).cast("long"))
+        .select("user_id", "event_id", "event_order", "record_rank")
+    }),
+
+    // §2.5 W9: min/max over unordered partition (inferred first/last seen).
+    "w9_first_last_seen" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      T(s, dir, "events")
+        .withColumn("first_seen", min(col("ts")).over(w))
+        .withColumn("last_seen", max(col("ts")).over(w))
+        .select("user_id", "first_seen", "last_seen").distinct()
+    }),
+
+    // §2.5 W17: first-token detection (anchor row per user).
+    "w17_first_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+          col("event_type").as("first_event_type"))
+    }),
+
+    // §2.5 W13 + §2.4 A5: per-session span aggregation (start/end/count).
+    "a5_session_spans" -> ((s, dir) => {
+      Sessionize.byGap(T(s, dir, "events"), Seq("user_id"), col("ts"),
+          Seq(col("ts"), col("event_id")), gapSeconds = 3600)
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .withColumn("session_id", col("session_id").cast("long"))
+    }),
+
+    // §2.4 A6: qualified-concept filter (distinct-entity support threshold).
+    "a6_qualified_types" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"))
+        .filter(col("n_users") >= 100)
+    }),
+
+    // §2.4 A7: per-group min/max order bounds (VS/VE insertion shape).
+    "a7_order_bounds" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(min(col("o_orderdate")).cast("date").as("min_date"),
+          max(col("o_orderdate")).cast("date").as("max_date"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+
+    // §2.4 A11: groupBy().max() shorthand.
+    "a11_max_price_per_brand" -> ((s, dir) => {
+      T(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(round(max("p_retailprice"), 2).as("max_price"))
+    }),
+
+    // §2.3 J8: temporal-overlap self-join — orders of the same customer whose
+    // 7-day windows overlap; earliest order wins as the "master" (A8 shape).
+    "j8_overlap_master" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      val a = o.toDF("c1", "k1", "d1")
+      val b = o.toDF("c2", "k2", "d2")
+      a.join(b, col("c1") === col("c2") && col("k1") =!= col("k2")
+          && col("d2").between(col("d1"), date_add(col("d1"), 7)))
+        .groupBy(col("c2").as("o_custkey"), col("k2").as("o_orderkey"))
+        .agg(min("k1").as("master_orderkey"))
+    }),
+
+    // §2.8 P10: unit-string cleanup regexes ({...} strip, leading / → 1/).
+    "p10_unit_cleanup" -> ((s, dir) => {
+      T(s, dir, "part")
+        .withColumn("unit", concat(lit("{annot}/"), col("p_type")))
+        .withColumn("unit", regexp_replace(col("unit"), "\\{.*?\\}", ""))
+        .withColumn("unit", regexp_replace(col("unit"), "^/", "1/"))
+        .groupBy("unit").agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.2 P11: numeric-string detector routing rows numeric vs categorical.
+    "p11_numeric_detector" -> ((s, dir) => {
+      T(s, dir, "events")
+        .withColumn("k_str", get_json_object(col("props"), "$.k"))
+        .withColumn("is_numeric",
+          (regexp_extract(col("k_str"), "^[+-]?\\d*\\.?\\d+$", 0) =!= "").cast("long"))
+        .groupBy("is_numeric").agg(count(lit(1)).as("n"),
+          round(sum(when(col("is_numeric") === 1, col("k_str").cast("double")).otherwise(0.0)), 2)
+            .as("numeric_sum"))
+    }),
+
+    // §2.9 F5 (mix) + F2 (day): ceil-based ATT token distributions.
+    "f5_mix_tokens" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("gap_days",
+          datediff(col("o_orderdate").cast("date"), lag(col("o_orderdate"), 1).over(w).cast("date")))
+        .filter(col("gap_days").isNotNull)
+        .withColumn("mix_token", TimeTokens.mixToken(col("gap_days")))
+        .withColumn("day_token", TimeTokens.dayToken(col("gap_days")))
+        .groupBy("mix_token").agg(count(lit(1)).as("n"),
+          countDistinct("day_token").as("n_day_tokens"))
+    }),
+
+    // §2.7 U1/U4: positional union + distinct dedup.
+    "u1_union_distinct" -> ((s, dir) => {
+      val n = T(s, dir, "nation").select(col("n_name").as("name"))
+      val r = T(s, dir, "region").select(col("r_name").as("name"))
+      n.union(r).distinct()
+    }),
+
+    // §1.1-style week-since-epoch binning (classic sequence date_in_week).
+    "seq2_week_bins" -> ((s, dir) => {
+      T(s, dir, "events")
+        .withColumn("date_in_week",
+          (unix_timestamp(col("ts").cast("date").cast("timestamp")) / lit(604800)).cast("int").cast("long"))
+        .groupBy("user_id", "date_in_week")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // Text quality score (C4/Gopher-style blended heuristic).
+    "text4_quality_score" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Multimodal: metadata-only stats — payload column must be pruned from
+    // the scan (meta travels separately from bytes).
+    "mm1_media_meta_stats" -> ((s, dir) => {
+      val media = Multimodal.deriveMediaTable(T(s, dir, "documents"), "doc_id", "text")
+      media.groupBy("media_type")
+        .agg(count(lit(1)).as("n"),
+          avg(col("meta.width")).cast("double").as("avg_width"),
+          sum(col("meta.duration_ms")).as("total_duration_ms"),
+          countDistinct(col("meta.sample_rate")).as("n_sample_rates"))
+        .withColumn("avg_width", round(col("avg_width"), 4))
+    }),
+
+    // Multimodal: per-partition stub decode → fixed-dim feature vectors;
+    // deterministic, so oracled via byte-sum reconstruction in DuckDB.
+    "mm2_media_features" -> ((s, dir) => {
+      val media = Multimodal.deriveMediaTable(T(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, dims = 8)
+        .select(col("media_id"),
+          round(VF.arraySum(col("features")), 2).as("feature_sum"),
+          size(col("features")).cast("long").as("dims"))
+    }),
+
+    // §2.1 S10: seeded random split (Spark-side only → rows-only check).
+    "s10_random_split" -> ((s, dir) => {
+      val Array(train, test) = T(s, dir, "customer").randomSplit(Array(0.8, 0.2), 42)
+      train.withColumn("split", lit("train"))
+        .unionByName(test.withColumn("split", lit("test")))
+        .groupBy("split").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -617,6 +778,153 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(cosine, 4) AS cosine
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+
+    "w1_event_order" ->
+      """SELECT user_id, event_id,
+        | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_order,
+        | CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS record_rank
+        |FROM events""".stripMargin,
+
+    "w9_first_last_seen" ->
+      """SELECT DISTINCT user_id,
+        | min(ts) OVER (PARTITION BY user_id) AS first_seen,
+        | max(ts) OVER (PARTITION BY user_id) AS last_seen
+        |FROM events""".stripMargin,
+
+    "w17_first_event" ->
+      """SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "a5_session_spans" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |             OR date_diff('second', prev_ts, ts) > 3600 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "a6_qualified_types" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |HAVING count(DISTINCT user_id) >= 100""".stripMargin,
+
+    "a7_order_bounds" ->
+      """SELECT o_custkey,
+        | CAST(min(o_orderdate) AS DATE) AS min_date,
+        | CAST(max(o_orderdate) AS DATE) AS max_date,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a11_max_price_per_brand" ->
+      """SELECT p_brand, round(max(p_retailprice), 2) AS max_price
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    "j8_overlap_master" ->
+      """SELECT a.o_custkey, b.o_orderkey, min(a.o_orderkey) AS master_orderkey
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey <> b.o_orderkey
+        |  AND CAST(b.o_orderdate AS DATE)
+        |      BETWEEN CAST(a.o_orderdate AS DATE)
+        |          AND CAST(a.o_orderdate AS DATE) + INTERVAL 7 DAY
+        |GROUP BY a.o_custkey, b.o_orderkey""".stripMargin,
+
+    "p10_unit_cleanup" ->
+      """SELECT regexp_replace(regexp_replace('{annot}/' || p_type, '\{.*?\}', ''), '^/', '1/') AS unit,
+        | count(*) AS n
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "p11_numeric_detector" ->
+      """WITH t AS (SELECT json_extract_string(props, '$.k') AS k_str FROM events)
+        |SELECT CAST(CASE WHEN regexp_extract(k_str, '^[+-]?\d*\.?\d+$') <> ''
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_numeric,
+        | count(*) AS n,
+        | round(sum(CASE WHEN regexp_extract(k_str, '^[+-]?\d*\.?\d+$') <> ''
+        |           THEN CAST(k_str AS DOUBLE) ELSE 0.0 END), 2) AS numeric_sum
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "f5_mix_tokens" ->
+      """WITH g AS (
+        |  SELECT date_diff('day',
+        |    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS gap_days
+        |  FROM orders),
+        |tok AS (
+        |  SELECT
+        |    CASE WHEN gap_days <= 7 THEN 'D' || CAST(gap_days AS VARCHAR)
+        |         WHEN gap_days <= 30 THEN 'W' || CAST(CAST(ceil(gap_days / 7.0) AS BIGINT) AS VARCHAR)
+        |         WHEN gap_days <= 360 THEN 'M' || CAST(CAST(ceil(gap_days / 30.0) AS BIGINT) AS VARCHAR)
+        |         ELSE 'LT' END AS mix_token,
+        |    CASE WHEN gap_days < 1080 THEN 'D' || CAST(gap_days AS VARCHAR)
+        |         ELSE 'LT' END AS day_token
+        |  FROM g WHERE gap_days IS NOT NULL)
+        |SELECT mix_token, count(*) AS n, count(DISTINCT day_token) AS n_day_tokens
+        |FROM tok GROUP BY mix_token""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT DISTINCT name FROM (
+        |  SELECT n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT r_name AS name FROM region)""".stripMargin,
+
+    "seq2_week_bins" ->
+      """SELECT user_id,
+        | CAST(floor(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) / 604800) AS BIGINT) AS date_in_week,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "text4_quality_score" -> {
+      s"""WITH t AS (SELECT doc_id, text,
+         |  CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+         |       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  least(len(toks) / 100.0, 1.0) AS len_score,
+         |  CASE WHEN len(text) = 0 THEN 0.0
+         |       ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len(text) END AS alpha,
+         |  least(CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(toks, x -> x IN $StopList)) AS DOUBLE) / len(toks) END * 5.0,
+         |        1.0) AS stop_score,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mtl
+         |  FROM t)
+         |SELECT doc_id,
+         | round(len_score * 0.3 + alpha * 0.3 + stop_score * 0.2 +
+         |   (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+         |FROM c""".stripMargin
+    },
+
+    "mm1_media_meta_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    octet_length(encode(text)) AS sz,
+        |    CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE NULL END AS sample_rate
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n,
+        | round(avg(sz % 640 + 64), 4) AS avg_width,
+        | sum(sz * 10) AS total_duration_ms,
+        | count(DISTINCT sample_rate) AS n_sample_rates
+        |FROM m GROUP BY media_type""".stripMargin,
+
+    "mm2_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT media_id,
+        | round(COALESCE(list_sum(list_transform(range(0, n),
+        |   i -> CAST('0x' || substring(h, 2*i + 1, 2) AS INT))), 0), 2) AS feature_sum,
+        | CAST(8 AS BIGINT) AS dims
+        |FROM b""".stripMargin
   )
 }

@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, functions => F}
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column handling for training-data pipelines: image/audio/video
+ * travel as opaque `binary` columns next to a typed metadata struct; decode /
+ * feature-extraction / resize / frame-sampling run per partition so a native
+ * decoder library is loaded once per executor core, not once per row.
+ *
+ * The Spark-side plumbing — schema, partitioning, iterator-to-iterator batch
+ * shape, feature-vector output type — is real and tested. The decode kernels
+ * themselves are STUBS (deterministic functions of the payload bytes): the
+ * image/audio libraries are not in this container. Swap [[StubDecoder]] for a
+ * JNI/JavaCPP-backed decoder without touching any query.
+ *
+ * Scale notes: payloads never shuffle for metadata-only queries (the meta
+ * struct is a separate column, so column pruning keeps scans payload-free —
+ * check ReadSchema in .explain); feature extraction is a narrow
+ * mapPartitions (no shuffle); frame sampling is pure column algebra.
+ */
+object Multimodal {
+
+  /** Typed metadata carried next to every payload. */
+  val MetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta", MetaType)))
+
+  /**
+   * Derive a media table from a text corpus for testing: payload = UTF-8
+   * bytes of the text (a stand-in for encoded image/audio bytes), media_type
+   * assigned round-robin, metadata derived deterministically from payload
+   * length — a STUB for header parsing (real decoders read these fields from
+   * the container format).
+   */
+  def deriveMediaTable(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = F.encode(col(textCol), "UTF-8")
+    val size = F.octet_length(col(textCol))
+    documents.select(
+      col(idCol).cast(LongType).as("media_id"),
+      F.element_at(F.typedlit(Seq("image", "audio", "video")),
+        (col(idCol) % 3 + 1).cast(IntegerType)).as("media_type"),
+      payload.as("payload"),
+      F.struct(
+        (size % 640 + 64).cast(IntegerType).as("width"),
+        (size % 480 + 48).cast(IntegerType).as("height"),
+        lit(3).as("channels"),
+        when(col(idCol) % 3 === 1, 16000).otherwise(lit(null)).cast(IntegerType).as("sample_rate"),
+        (size * 10L).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
+  final case class MediaRow(media_id: Long, media_type: String,
+                            payload: Array[Byte], features: Array[Float])
+
+  /**
+   * STUB decode kernel: deterministic feature vector from payload bytes.
+   * A real implementation decodes the image/audio and runs a preprocessor;
+   * only this function changes — the partition plumbing stays.
+   */
+  object StubDecoder {
+    def features(payload: Array[Byte], dims: Int): Array[Float] = {
+      // integer byte sums: exactly representable in float32 for payloads
+      // < 64 KiB, so cross-engine verification is bit-stable
+      val out = new Array[Float](dims)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dims) += (payload(i) & 0xff).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /**
+   * Per-partition feature extraction: iterator-in/iterator-out so decoder
+   * state (model weights, codec contexts) initializes once per partition.
+   * Narrow transformation — no shuffle; output column is array<float>
+   * compatible with [[graft.similarity.Knn]].
+   */
+  def extractFeatures(media: DataFrame, dims: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("features", ArrayType(FloatType))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        // decoder/codec init would happen HERE, once per partition
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getLong(0), r.getString(1),
+            StubDecoder.features(payload, dims).toSeq)
+        }
+      }(encoder)
+  }
+
+  /** Resize metadata transform (pure column algebra — a real resize would be
+    * a payload kernel in [[extractFeatures]]'s partition loop). */
+  def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = F.least(lit(1.0), lit(maxDim) / F.greatest(w, h).cast(DoubleType))
+    media.withColumn("resized_meta", F.struct(
+      F.ceil(w * scale).cast(IntegerType).as("width"),
+      F.ceil(h * scale).cast(IntegerType).as("height"),
+      col("meta.channels").as("channels")))
+  }
+
+  /** Sample n evenly spaced frames as payload byte-slices (video stand-in:
+    * real frame extraction decodes the container; slicing shape is the same). */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val len = F.octet_length(col("payload"))
+    media.withColumn("frames",
+      F.transform(F.sequence(lit(0), lit(n - 1)), i =>
+        col("payload").substr(len * i / n + 1, F.greatest(len / n, lit(1)))))
+  }
+}
