@@ -1,39 +1,30 @@
 package graft.tools
 
-import graft.core.GraftSession
-import graft.functions.TimeTokens.AttType
-import graft.omop.cohort.PredictionCohort
-import graft.omop.cohort.definitions.HfReadmission
+import org.apache.spark.sql.functions._
 
-/** Scratch probe main: runs the hf_readmission prediction cohort with the
-  * reference integration test's exact arguments for golden comparison. */
+import graft.core.GraftSession
+import graft.omop.Preprocess
+import graft.omop.tools.{ConnectOmopVisits, QualifiedConceptList}
+
+/** Scratch probe main: drives the visit-consolidation and qualified-concept
+  * tools end-to-end over the bundled sample OMOP data. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "probe")
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
+    val input = "/root/reference/sample_data/omop_sample"
 
-    new java.io.File("/tmp/graft_hf/out").mkdirs()
-    PredictionCohort.create(spark,
-      PredictionCohort.Args(
-        cohortName = "hf_readmission",
-        inputFolder = "/root/reference/sample_data/omop_sample",
-        outputFolder = "/tmp/graft_hf/out",
-        dateLowerBound = "1985-01-01",
-        dateUpperBound = "2023-12-31",
-        ageLowerBound = 18,
-        ageUpperBound = 100,
-        observationWindow = 360,
-        predictionStartDays = 0,
-        predictionWindow = 30,
-        includeVisitType = true,
-        isNewPatientRepresentation = true,
-        attType = AttType.CehrBert,
-        inpatientAttType = AttType.Mix,
-        cacheEvents = true),
-      HfReadmission.target("1985-01-01"),
-      HfReadmission.outcome,
-      HfReadmission.DomainTableList)
-    println("[probe] hf_readmission done")
+    val visits = Preprocess.domainTable(spark, input, "visit_occurrence")
+    println("[probe] visits before: " + visits.count())
+    val res = ConnectOmopVisits.run(visits,
+      persistence = Some((spark, "/tmp/graft_connect")))
+    println("[probe] visits after:  " + res.visitOccurrence.count())
+    println("[probe] mappings:      " + res.mapping.count())
+    res.mapping.groupBy().agg(countDistinct("master_visit_occurrence_id")).show()
+
+    val qc = QualifiedConceptList.build(spark, input, minNumOfPatients = 10)
+    println("[probe] qualified concepts (>=10 patients): " + qc.count())
+    qc.orderBy(desc("freq")).show(5)
     spark.stop()
   }
 }
