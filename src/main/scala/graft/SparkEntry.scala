@@ -497,6 +497,14 @@ object SparkEntry {
           size(col("features")).cast("long").as("dims"))
     }),
 
+    // Embedding-cosine near-duplicate pairs over LSH buckets — approximate
+    // candidate generation → rows-only check (exact pairs verified by knn1).
+    "knn4_cosine_neardup" -> ((s, dir) => {
+      Knn.cosineNearDuplicates(T(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.95, dims = 64)
+        .select(col("left_id"), col("right_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+
     // §2.1 S10: seeded random split (Spark-side only → rows-only check).
     "s10_random_split" -> ((s, dir) => {
       val Array(train, test) = T(s, dir, "customer").randomSplit(Array(0.8, 0.2), 42)
