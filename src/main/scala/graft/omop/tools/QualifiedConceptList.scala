@@ -46,3 +46,22 @@ object QualifiedConceptList {
     build(spark, inputFolder, minNumOfPatients, domainTableList)
       .write.mode("overwrite").parquet(s"$outputFolder/qualified_concept_list")
 }
+
+/**
+ * S13: localize MEDS `prediction_time` from UTC to a target timezone.
+ * The reference does this as a per-file pandas rewrite
+ * (tools/convert_prediction_time_to_local.py:11-32); distributed here as a
+ * plain column rewrite over the whole dataset — no driver loop.
+ */
+object ConvertPredictionTimeToLocal {
+  def apply(df: org.apache.spark.sql.DataFrame, timezone: String,
+            timeColumn: String = "prediction_time"): org.apache.spark.sql.DataFrame =
+    df.withColumn(timeColumn,
+      org.apache.spark.sql.functions.from_utc_timestamp(
+        org.apache.spark.sql.functions.col(timeColumn), timezone))
+
+  def run(spark: SparkSession, inputFolder: String, outputFolder: String,
+          timezone: String): Unit =
+    apply(spark.read.parquet(inputFolder), timezone)
+      .write.mode("overwrite").parquet(outputFolder)
+}
