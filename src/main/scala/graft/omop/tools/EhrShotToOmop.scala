@@ -246,18 +246,107 @@ object EhrShotToOmop {
         .select(realOut.columns.map(col).toSeq: _*))
   }
 
-  /** Full conversion: CSV → visit inference → per-table OMOP projection with
-    * concept/value mapping (ehrshot_to_omop.py:786-915, minus the
-    * disconnect_visit_id repair pass which composes with [[generateVisitId]]
-    * via the same machinery). */
+  /**
+   * Disconnect records whose timestamps fall outside their visit's span by
+   * more than `dayCutoff` days (lab results often carry the result-return
+   * time): re-partition each such visit's distinct event dates by 24h gaps,
+   * mint one new visit id per partition above max(visit_id), and rewrite both
+   * the visit rows (re-spanned; IP visits shrinking to ≤24h demote to
+   * Visit/OP) and the member records (ehrshot_to_omop.py:594-745).
+   */
+  def disconnectVisitId(data: DataFrame, cacheFolder: String, dayCutoff: Int = 1): DataFrame = {
+    val domainRecords = data.where(col("omop_table") =!= "visit_occurrence")
+    val visitRecords = data.where(col("omop_table") === "visit_occurrence")
+
+    val visitInferredStartEnd = domainRecords.alias("domain")
+      .join(visitRecords.alias("visit"), col("domain.visit_id") === col("visit.visit_id"))
+      .groupBy(col("domain.visit_id"))
+      .agg(F.min(col("domain.start")).as("start"), F.max(col("domain.start")).as("end"))
+
+    val visitToFix = Checkpoints.persist(
+      visitInferredStartEnd.alias("d_visit")
+        .join(visitRecords.alias("visit"), col("d_visit.visit_id") === col("visit.visit_id"))
+        .where(
+          ((F.unix_timestamp(col("visit.start")) - F.unix_timestamp(col("d_visit.start"))) / 3600 > dayCutoff * 24) ||
+          ((F.unix_timestamp(col("d_visit.end")) - F.unix_timestamp(col("visit.end"))) / 3600 > dayCutoff * 24))
+        .select(col("visit.visit_id").as("visit_id"),
+          col("visit.start").as("start"), col("visit.end").as("end"),
+          col("d_visit.start").as("inferred_start"), col("d_visit.end").as("inferred_end")),
+      cacheFolder, "visit_reconstruction/visit_to_fix")
+
+    val wVisit = Window.partitionBy("visit_id").orderBy("visit_order")
+    val distinctVisitDateMapping = Checkpoints.persist(
+      domainRecords.alias("domain")
+        .join(visitToFix.alias("visit"), col("domain.visit_id") === col("visit.visit_id"))
+        .select(col("domain.visit_id").as("visit_id"), col("domain.start").as("start"),
+          col("domain.code").as("code"))
+        .distinct()
+        .withColumn("visit_order",
+          F.row_number().over(Window.partitionBy("visit_id").orderBy("start")))
+        .withColumn("prev_start", F.lag("start", 1).over(wVisit))
+        .withColumn("hour_diff",
+          F.coalesce((F.unix_timestamp(col("start")) - F.unix_timestamp(col("prev_start"))) / 3600, lit(0)))
+        .withColumn("visit_partition",
+          F.sum((col("hour_diff") > 24).cast("int"))
+            .over(wVisit.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("visit_partition_rank",
+          F.dense_rank().over(Window.orderBy(col("visit_id"), col("visit_partition"))))
+        .crossJoin(visitRecords.select(F.max("visit_id").as("max_visit_id")))
+        .withColumn("new_visit_id", col("max_visit_id") + col("visit_partition_rank"))
+        .drop("max_visit_id"),
+      cacheFolder, "visit_reconstruction/distinct_visit_date_mapping")
+
+    val fixVisitRecords = Checkpoints.persist(
+      data.alias("ehr")
+        .join(distinctVisitDateMapping.alias("visit"), col("ehr.visit_id") === col("visit.visit_id"))
+        .where(col("ehr.omop_table") === "visit_occurrence")
+        .groupBy(
+          col("visit.visit_id").as("original_visit_id"),
+          col("visit.new_visit_id").as("visit_id"),
+          col("ehr.patient_id").as("patient_id"),
+          col("ehr.code").as("code"),
+          col("ehr.value").as("value"),
+          col("ehr.unit").as("unit"),
+          col("ehr.omop_table").as("omop_table"))
+        .agg(F.min(col("visit.start")).as("start"), F.max(col("visit.start")).as("end"))
+        .withColumn("code",
+          when(col("code").isin(InpatientCodes: _*) &&
+              (F.unix_timestamp(col("end")) - F.unix_timestamp(col("start"))) / 3600 <= 24,
+            lit("Visit/OP")).otherwise(col("code"))),
+      cacheFolder, "visit_reconstruction/fix_visit_records")
+
+    val fixDomainRecords = Checkpoints.persist(
+      data.alias("ehr")
+        .join(distinctVisitDateMapping.alias("visit"),
+          col("ehr.visit_id") === col("visit.visit_id") &&
+            col("ehr.start") === col("visit.start") &&
+            col("ehr.code") === col("visit.code"))
+        .where(col("ehr.omop_table") =!= "visit_occurrence")
+        .select(
+          Seq(F.coalesce(col("visit.new_visit_id"), col("ehr.visit_id")).as("visit_id"),
+            F.coalesce(col("visit.visit_id"), col("ehr.visit_id")).as("original_visit_id")) ++
+            data.columns.filterNot(_ == "visit_id").map(c => col(s"ehr.$c").as(c)): _*),
+      cacheFolder, "visit_reconstruction/fix_domain_records")
+
+    val otherEvents = data
+      .join(distinctVisitDateMapping.select("visit_id").distinct(), Seq("visit_id"), "left_anti")
+      .withColumn("original_visit_id", col("visit_id"))
+
+    otherEvents.unionByName(fixDomainRecords).unionByName(fixVisitRecords)
+  }
+
+  /** Full conversion: CSV → visit inference + out-of-span repair →
+    * per-table OMOP projection with concept/value mapping
+    * (ehrshot_to_omop.py:786-915). */
   def run(spark: SparkSession, ehrShotFile: String, vocabularyFolder: String,
-          outputFolder: String): Unit = {
+          outputFolder: String, dayCutoff: Int = 1): Unit = {
     val raw = spark.read.option("header", "true").schema(EhrShotSchema).csv(ehrShotFile)
       .withColumn("visit_id", col("visit_id").cast(LongType))
       .drop("_c0")
 
     val withVisits = Checkpoints.persist(
-      generateVisitId(raw, outputFolder), outputFolder, "ehr_shot")
+      disconnectVisitId(generateVisitId(raw, outputFolder), outputFolder, dayCutoff),
+      outputFolder, "ehr_shot")
     val concept = spark.read.parquet(s"$vocabularyFolder/concept")
 
     createOmopPerson(withVisits, concept)

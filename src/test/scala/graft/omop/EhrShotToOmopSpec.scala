@@ -109,4 +109,29 @@ class EhrShotToOmopSpec extends SparkSpecBase {
     val artificial = out.filter($"omop_table" === "visit_occurrence" && $"visit_id" === 11L)
     assert(artificial.count() == 1)
   }
+
+  test("disconnectVisitId splits visits whose records fall far outside the span") {
+    // visit 20 spans Jan 1 only, but carries events in January AND March —
+    // the March group must move to a freshly minted visit id
+    val data = Seq(
+      (1, ts("2020-01-01 08:00:00"), ts("2020-01-01 18:00:00"), "Visit/OP",
+        null.asInstanceOf[String], null.asInstanceOf[String], java.lang.Long.valueOf(20L), "visit_occurrence"),
+      (1, ts("2020-01-01 09:00:00"), null.asInstanceOf[Timestamp], "SNOMED/38341003",
+        null.asInstanceOf[String], null.asInstanceOf[String], java.lang.Long.valueOf(20L), "condition_occurrence"),
+      (1, ts("2020-03-15 09:00:00"), null.asInstanceOf[Timestamp], "SNOMED/38341003",
+        null.asInstanceOf[String], null.asInstanceOf[String], java.lang.Long.valueOf(20L), "measurement"))
+      .toDF("patient_id", "start", "end", "code", "value", "unit", "visit_id", "omop_table")
+
+    val tmp = java.nio.file.Files.createTempDirectory("ehrshot_disc").toString
+    val out = EhrShotToOmop.disconnectVisitId(data, tmp)
+
+    val byTable = out.collect().groupBy(_.getAs[String]("omop_table"))
+    val visits = byTable("visit_occurrence").map(_.getAs[Long]("visit_id")).toSet
+    assert(visits.size == 2, s"expected visit split, got $visits")
+    val jan = byTable("condition_occurrence")(0)
+    val mar = byTable("measurement")(0)
+    assert(jan.getAs[Long]("visit_id") != mar.getAs[Long]("visit_id"))
+    assert(jan.getAs[Long]("original_visit_id") == 20L)
+    assert(mar.getAs[Long]("original_visit_id") == 20L)
+  }
 }
