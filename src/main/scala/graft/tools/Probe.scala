@@ -1,36 +1,33 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
 import graft.core.GraftSession
 import graft.functions.TimeTokens.AttType
-import graft.omop.tools.ExtractFeatures
+import graft.omop.{GenerateTrainingData, OmopSchema}
 
-/** Scratch probe main: drives ExtractFeatures end-to-end — external CSV
-  * labels over the bundled sample OMOP data → labeled token sequences. */
+/** Scratch probe main: second golden configuration — cehr_bert inter-visit
+  * ATT, mix inpatient ATT, age-group demographic tokens. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val labeled = ExtractFeatures.run(spark, ExtractFeatures.Config(
-      cohortDir = "/tmp/graft_ef/labels.csv",
-      cohortName = "ef_smoke",
+    val cfg = GenerateTrainingData.Config(
       inputFolder = "/root/reference/sample_data/omop_sample",
-      outputFolder = "/tmp/graft_ef/out",
-      ehrTableList = Seq("condition_occurrence", "drug_exposure", "procedure_occurrence"),
-      personIdColumn = "subject_id",
-      indexDateColumn = "pred_time",
-      labelColumn = "outcome",
-      observationWindow = 360,
+      outputFolder = Some("/tmp/graft_omop_run2"),
+      domainTableList = Seq(OmopSchema.ConditionOccurrence, OmopSchema.DrugExposure,
+        OmopSchema.ProcedureOccurrence),
+      dateFilter = Some("1985-01-01"),
+      includeVisitType = true,
       attType = AttType.CehrBert,
       inpatientAttType = AttType.Mix,
-      keepSamplesWithNoFeatures = true))
-
-    println("[probe] labeled rows = " + labeled.count())
-    labeled.select(col("person_id"), col("label"), col("age"),
-        size(col("concept_ids")).as("n_tokens"))
-      .orderBy("person_id").show(10)
+      excludeDemographic = false,
+      useAgeGroup = true,
+      includeInpatientHourToken = false,
+      applyAgeFilter = true,
+      withDrugRollup = true)
+    val seq = GenerateTrainingData.run(spark, cfg, gptPatientSequence = true)
+    GenerateTrainingData.write(spark, cfg, seq, "/tmp/graft_omop_run2")
+    println("[probe] wrote /tmp/graft_omop_run2/patient_sequence")
     spark.stop()
   }
 }
