@@ -311,12 +311,12 @@ object SparkEntry {
             .as("rfp"))
     }),
 
-    // Exact n-gram Jaccard over blocked candidate pairs (near-dup verify path).
+    // Exact n-gram Jaccard over blocked pairs via the inverted-index join
+    // (identical output to all-pairs intersection for threshold > 0, but
+    // cost scales with actual overlap instead of block size squared).
     "ngram1_jaccard_pairs" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val pairs = Dedup.blockedPairs(docs, "doc_id", col("source"))
-      Dedup.ngramJaccard(pairs, docs, "doc_id", col("text"), n = 3)
-        .filter(col("jaccard") >= 0.2)
+      Dedup.ngramJaccardBlocked(T(s, dir, "documents"), "doc_id", col("source"),
+          col("text"), n = 3, threshold = 0.2)
         .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))
     }),
 

@@ -70,4 +70,37 @@ object Dedup {
     a.join(b, Seq("__b")).filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id").distinct()
   }
+
+  /**
+   * Blocked n-gram Jaccard via an inverted-index join: explode hashed
+   * shingles, equi-join on (block, shingle) to count common shingles per
+   * pair, then reconstruct Jaccard from per-doc set sizes.
+   *
+   * Produces exactly the pairs with ≥ 1 common shingle — identical to the
+   * all-pairs variant for any threshold > 0 — but the shuffle moves
+   * (block, shingle_hash, id) rows instead of evaluating |A|·|B| array
+   * intersections per pair, so cost scales with actual overlap, not with
+   * block size squared. This is the 100 TB shape for block-local near-dup.
+   */
+  def ngramJaccardBlocked(docs: DataFrame, idCol: String, blockCol: Column,
+                          text: Column, n: Int = 3,
+                          threshold: Double = 0.0): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"), blockCol.as("__b"),
+        array_distinct(transform(TextFunctions.shingles(text, n), s => xxhash64(s))).as("__sh"))
+      .withColumn("__size", size(col("__sh")))
+    val exploded = sh.select(col("__id"), col("__b"), col("__size"),
+      explode(col("__sh")).as("__shingle"))
+
+    val a = exploded.toDF("left_id", "__b", "left_size", "__shingle")
+    val b = exploded.toDF("right_id", "__b", "right_size", "__shingle")
+    a.join(b, Seq("__b", "__shingle"))
+      .filter(col("left_id") < col("right_id"))
+      .groupBy("left_id", "right_id", "left_size", "right_size")
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("left_size") + col("right_size") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
 }
