@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Fixture-level specs for the generic operators (also oracle-validated
+  * against DuckDB through the driver contract at sf0.01). */
+class OperatorsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("Sessionize.byGap splits on inactivity gaps and numbers sessions from 1") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L),
+      (1L, ts("2024-01-01 12:31:00"), 3L), // > 1h after previous → new session
+      (2L, ts("2024-01-01 09:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessionize.byGap(events, Seq("user_id"), col("ts"),
+        Seq(col("ts"), col("event_id")), gapSeconds = 3600)
+      .orderBy("user_id", "ts").collect()
+    assert(out.map(_.getAs[Long]("session_id")).toSeq == Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("TemporalJoins.asOfBackward picks the latest right row at or before each left ts") {
+    val left = Seq((10L, 1L, ts("2024-01-05 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00")),
+      (1L, 101L, ts("2024-01-04 00:00:00")),
+      (1L, 102L, ts("2024-01-06 00:00:00"))) // after left ts → excluded
+      .toDF("k", "order_id", "order_ts")
+    val out = TemporalJoins.asOfBackward(left, right, Seq("user_id"), Seq("k"),
+      col("ts"), col("order_ts"), leftId = Seq("event_id"),
+      tieBreak = Seq(col("order_id").desc)).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("order_id") == 101L)
+  }
+
+  test("TopKPerGroup.top1 keeps exactly one row per group by the given order") {
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (2L, 12L, 3.0))
+      .toDF("grp", "id", "score")
+    val out = TopKPerGroup.top1(df, Seq("grp"), Seq(col("score").desc))
+      .orderBy("grp").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(11L, 12L))
+  }
+
+  test("IdAllocator.sequentialId assigns dense global ids in sort order without a global window") {
+    val df = (1 to 100).map(i => (i.toLong, 100 - i)).toDF("id", "sort_key")
+    val out = IdAllocator.sequentialId(df, Seq(col("sort_key")), "seq_id")
+      .orderBy("sort_key").collect()
+    assert(out.map(_.getAs[Long]("seq_id")).toSeq == (1L to 100L))
+  }
+
+  test("TransitiveClosure.closure reaches all ancestors with min depth") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("child", "parent")
+    val out = TransitiveClosure.closure(edges, "child", "parent")
+      .collect()
+      .map(r => (r.getAs[String]("descendant"), r.getAs[String]("ancestor")) ->
+        r.getAs[Int]("depth")).toMap
+    // min depth: a→c→d (2) beats a→b→c→d (3)
+    assert(out(("a", "d")) == 2)
+    assert(out(("a", "c")) == 1) // direct edge wins over a→b→c
+    assert(out.size == 6) // ab ac ad bc bd cd (a→c duplicate path collapsed)
+  }
+}
