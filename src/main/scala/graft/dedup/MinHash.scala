@@ -3,7 +3,9 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Exprs, TextFunctions}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.TextFunctions
 
 /**
  * MinHash + LSH near-duplicate detection (shingle → minhash signature → band
@@ -29,23 +31,19 @@ object MinHash {
   /**
    * MinHash signature (array<bigint> of length k) of word n-gram shingles.
    *
-   * The shingle-hash base array is let-bound so tokenize→shingle→xxhash64
-   * runs once per row (not once per permutation), and the k permutations
-   * index literal coefficient arrays — the expression tree stays O(1) in k,
-   * so codegen stays small and per-row work is k·|shingles| integer ops.
+   * tokenize→shingle→xxhash64 produces the base hash array with built-in
+   * codegen'd expressions; the k permutation minima are then computed by the
+   * fused [[graft.functions.MinHashSig]] Catalyst expression — one compiled
+   * k·|shingles| multiply-mod loop per row (the earlier higher-order-function
+   * form allocated k interpreted intermediate arrays per row). Empty docs get
+   * the all−1 sentinel signature so they only collide with each other.
    */
   def signature(text: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column = {
     val cs = coeffs(k, seed)
-    val aArr = typedlit(cs.map(_._1))
-    val bArr = typedlit(cs.map(_._2))
-    Exprs.let(transform(array_distinct(TextFunctions.shingles(text, n)),
-        s => pmod(xxhash64(s), lit(Prime)))) { base =>
-      // empty docs get a sentinel signature so they only collide with each other
-      when(size(base) === 0, array_repeat(lit(-1L), k)).otherwise(
-        transform(sequence(lit(1), lit(k)), i =>
-          array_min(transform(base,
-            x => pmod(x * element_at(aArr, i) + element_at(bArr, i), lit(Prime))))))
-    }
+    val base = transform(array_distinct(TextFunctions.shingles(text, n)),
+      s => pmod(xxhash64(s), lit(Prime)))
+    ColumnBridge.column(graft.functions.MinHashSig(
+      ColumnBridge.expression(base), cs.map(_._1), cs.map(_._2), Prime))
   }
 
   /** Explode a signature into (band_idx, band_hash) LSH bucket keys. */

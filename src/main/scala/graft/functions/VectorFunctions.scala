@@ -2,26 +2,32 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /**
- * Dense-vector math over `array<float>` embedding columns, expressed with
- * Spark's higher-order functions (`zip_with` + `aggregate`) so everything
- * stays a native column expression — no UDF boundary, usable inside joins,
- * aggregations, and window functions at full scale.
+ * Dense-vector math over `array<float>` / `array<double>` embedding columns.
+ *
+ * Backed by the custom codegen'd Catalyst expressions in
+ * [[VectorExpressions]] — Spark's higher-order functions (`zip_with` +
+ * `aggregate`) are `CodegenFallback`, i.e. interpreted per element, which
+ * made per-pair kernels the dominant cost of every similarity join (knn1 was
+ * 29% of the round-1 bench). These stay inside whole-stage codegen as fused
+ * primitive loops, no UDF boundary, usable in joins / aggregations / windows.
  */
 object VectorFunctions {
 
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def e(col: Column) = ColumnBridge.expression(col)
+
   /** Sum of elements. */
-  def arraySum(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double"))
+  def arraySum(v: Column): Column = c(ArraySumD(e(v)))
 
   /** Dot product of two equal-length vectors. */
-  def dot(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
 
   /** Euclidean (L2) norm. */
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2Norm(v: Column): Column = c(L2Norm(e(v)))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {
@@ -31,29 +37,20 @@ object VectorFunctions {
   }
 
   /** Squared Euclidean distance. */
-  def sqDist(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    }))
+  def sqDist(a: Column, b: Column): Column = c(SquaredDistance(e(a), e(b)))
 
   /**
    * Sign bits of projections onto `planes` random hyperplanes, packed into a
    * long — the random-hyperplane LSH key for cosine similarity. Planes are
-   * derived deterministically from `seed` on the driver and inlined as
-   * literals (dims × planes doubles — tiny), so the expression is fully
-   * codegen'd and needs no broadcast join.
+   * derived deterministically from `seed` on the driver and shipped as a
+   * codegen reference object; all planes are evaluated in ONE fused pass over
+   * the vector (the previous HOF form re-walked the vector per plane,
+   * interpreted).
    */
   def hyperplaneLshKey(v: Column, dims: Int, planes: Int, seed: Long = 42L): Column = {
     require(planes <= 63, "pack at most 63 sign bits into a long")
     val rnd = new scala.util.Random(seed)
-    val keys = (0 until planes).map { p =>
-      val plane = Array.fill(dims)(rnd.nextGaussian())
-      val proj = aggregate(
-        zip_with(v, typedlit(plane.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    keys.reduce(_ + _)
+    val ps = Seq.fill(planes)(Seq.fill(dims)(rnd.nextGaussian()))
+    c(HyperplaneSignBits(e(v), ps))
   }
 }
