@@ -328,11 +328,15 @@ object SparkEntry {
           round(col("cosine"), 4).as("cosine"))
     }),
 
-    // MinHash-LSH near-dup pipeline (shingle→signature→band→bucket join);
-    // verified by exact Jaccard ≥ 0.5 — rows-only driver check (xxhash64-based).
+    // MinHash-LSH near-dup pipeline (shingle→signature→band→bucket join),
+    // then exact-Jaccard verification ≥ 0.5 on candidates. Oracled against a
+    // DuckDB brute-force all-pairs Jaccard: identical whenever LSH recall is
+    // 1 at J ≥ 0.5 — verified pair-for-pair on the test corpus, where true
+    // near-dup pairs sit far above the banding threshold (b=8, r=4 ⇒ s* ≈ 0.59).
     "dedup2_minhash_pairs" -> ((s, dir) => {
       MinHash.nearDuplicates(T(s, dir, "documents"), "doc_id", col("text"),
-        threshold = 0.5)
+          threshold = 0.5)
+        .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
     // SimHash fingerprints + pigeonhole-blocked Hamming pairs — rows-only check.
@@ -497,8 +501,11 @@ object SparkEntry {
           size(col("features")).cast("long").as("dims"))
     }),
 
-    // Embedding-cosine near-duplicate pairs over LSH buckets — approximate
-    // candidate generation → rows-only check (exact pairs verified by knn1).
+    // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
+    // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
+    // generation can only lose pairs, never invent them, so equality both
+    // certifies no false positives and (on this corpus, where no pair reaches
+    // the threshold) exact agreement with the exhaustive answer.
     "knn4_cosine_neardup" -> ((s, dir) => {
       Knn.cosineNearDuplicates(T(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.95, dims = 64)
@@ -788,6 +795,41 @@ object SparkEntry {
         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
         |WHERE rn <= 3""".stripMargin,
 
+    // Brute-force all-pairs ground truth; equals the LSH-banded pipeline
+    // whenever recall at J >= 0.5 is 1 (true on this corpus — near-dup pairs
+    // sit far above the s* ~ 0.59 banding threshold).
+    "dedup2_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3)
+        |SELECT left_id, right_id, round(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    // Brute-force all-pairs cosine >= 0.95: LSH bucketing can only drop
+    // pairs, so equality certifies no false positives (and exact agreement
+    // here, where recall questions don't arise).
+    "knn4_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+        |    list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+        |           i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+        |           i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT left_id, right_id, round(cosine, 4) AS cosine
+        |FROM scored WHERE cosine >= 0.95""".stripMargin,
+
     "w1_event_order" ->
       """SELECT user_id, event_id,
         | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_order,
@@ -921,7 +963,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT media_type, count(*) AS n,
         | round(avg(sz % 640 + 64), 4) AS avg_width,
-        | sum(sz * 10) AS total_duration_ms,
+        | CAST(sum(sz * 10) AS BIGINT) AS total_duration_ms,
         | count(DISTINCT sample_rate) AS n_sample_rates
         |FROM m GROUP BY media_type""".stripMargin,
 
