@@ -62,21 +62,27 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
-    // §2.3 J1/J2/J14: multi-way equi join, dimensions broadcast.
+    // §2.3 J1/J2/J14: multi-way equi join, dimensions broadcast. Revenue is
+    // pre-aggregated per orderkey BEFORE the join: the fact table collapses
+    // ~4:1 before anything shuffles, and because each orderkey then appears
+    // exactly once, countDistinct(o_orderkey) becomes a plain count — no
+    // Expand node doubling the joined rows through the final aggregate.
     "j1_revenue_by_nation" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       val o = T(s, dir, "orders")
       val c = T(s, dir, "customer")
       val n = broadcast(T(s, dir, "nation"))
       val r = broadcast(T(s, dir, "region"))
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val perOrder = li.groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__rev"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          countDistinct("o_orderkey").as("n_orders"))
+          round(sum(col("__rev")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
     }),
 
     // §2.5 W12: top-1-per-group via row_number (WindowGroupLimit pushdown).
@@ -316,7 +322,7 @@ object SparkEntry {
     // cost scales with actual overlap instead of block size squared).
     "ngram1_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardBlocked(T(s, dir, "documents"), "doc_id", col("source"),
-          col("text"), n = 3, threshold = 0.2)
+          col("text"), n = 3, threshold = 0.2, maxShingleDocFreq = Some(100))
         .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))
     }),
 

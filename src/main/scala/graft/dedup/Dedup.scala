@@ -81,26 +81,105 @@ object Dedup {
    * (block, shingle_hash, id) rows instead of evaluating |A|·|B| array
    * intersections per pair, so cost scales with actual overlap, not with
    * block size squared. This is the 100 TB shape for block-local near-dup.
+   *
+   * `maxShingleDocFreq`: skew guard for near-duplicate-heavy corpora. A
+   * shingle present in d documents of a block contributes d² rows to the
+   * index self-join, so one boilerplate phrase shared by 10⁵ docs is a
+   * 10¹⁰-row skew bomb. With the cap set, shingles whose block-local doc
+   * frequency exceeds it are dropped from CANDIDATE GENERATION only;
+   * exact-fingerprint-duplicate pairs are unioned back in (so identical
+   * documents — always a giant bucket — can never be lost) and Jaccard is
+   * then computed exactly per candidate from the full shingle sets. The
+   * only pairs that can be missed are non-identical docs whose overlap is
+   * exclusively ubiquitous shingles — by construction the pairs with the
+   * least discriminative similarity.
    */
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, blockCol: Column,
                           text: Column, n: Int = 3,
-                          threshold: Double = 0.0): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"), blockCol.as("__b"),
+                          threshold: Double = 0.0,
+                          maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val shRaw = docs.select(col(idCol).as("__id"), blockCol.as("__b"),
         array_distinct(transform(TextFunctions.shingles(text, n), s => xxhash64(s))).as("__sh"))
       .withColumn("__size", size(col("__sh")))
+    // under the df-cap the shingle arrays feed both the index and the
+    // exact-duplicate fingerprints — compute the text processing once
+    val sh = if (maxShingleDocFreq.isDefined)
+      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shRaw
     val exploded = sh.select(col("__id"), col("__b"), col("__size"),
       explode(col("__sh")).as("__shingle"))
 
-    val a = exploded.toDF("left_id", "__b", "left_size", "__shingle")
-    val b = exploded.toDF("right_id", "__b", "right_size", "__shingle")
-    a.join(b, Seq("__b", "__shingle"))
-      .filter(col("left_id") < col("right_id"))
-      .groupBy("left_id", "right_id", "left_size", "right_size")
-      .agg(count(lit(1)).as("__inter"))
-      .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (col("left_size") + col("right_size") - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("left_id", "right_id", "jaccard")
+    maxShingleDocFreq match {
+      case None =>
+        val a = exploded.toDF("left_id", "__b", "left_size", "__shingle")
+        val b = exploded.toDF("right_id", "__b", "right_size", "__shingle")
+        a.join(b, Seq("__b", "__shingle"))
+          .filter(col("left_id") < col("right_id"))
+          .groupBy("left_id", "right_id", "left_size", "right_size")
+          .agg(count(lit(1)).as("__inter"))
+          .withColumn("jaccard",
+            col("__inter").cast("double") /
+              (col("left_size") + col("right_size") - col("__inter")))
+          .filter(col("jaccard") >= threshold)
+          .select("left_id", "right_id", "jaccard")
+
+      case Some(cap) =>
+        // Split the index by block-local doc frequency. The d² join blow-up
+        // comes entirely from high-df shingles, so only the RARE index
+        // self-joins; the frequent side is folded back in linearly below.
+        // The tagged index is persisted because three consumers (rare index
+        // a/b sides, frequent arrays) would otherwise each re-run
+        // scan→shingle→explode→window; spills to disk at scale.
+        val withDf = exploded.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy("__b", "__shingle")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rareExpl = withDf.filter(col("__df") <= cap).drop("__df")
+        // per-doc array of its frequent shingles — small for any real corpus
+        // (a shingle shared by > cap docs is boilerplate, and a doc holds few)
+        val freqArr = withDf.filter(col("__df") > cap)
+          .groupBy("__id")
+          .agg(collect_set(col("__shingle")).as("__fsh"))
+
+        // exact-duplicate pairs: identical normalized token sequence ⇒
+        // identical shingle set ⇒ Jaccard exactly 1 — no intersection needed.
+        // (Also the giant-bucket case the rare index can no longer see.)
+        val fps = sh.filter(col("__size") > 0)
+          .select(col("__id"), col("__b"), xxhash64(concat_ws(" ",
+            transform(col("__sh"), h => h.cast("string")))).as("__fp"))
+        val fpPairs = fps.select(col("__b"), col("__fp"), col("__id").as("left_id"))
+          .join(fps.select(col("__b"), col("__fp"), col("__id").as("right_id")),
+            Seq("__b", "__fp"))
+          .filter(col("left_id") < col("right_id"))
+          .select("left_id", "right_id")
+
+        // rare-index partial intersection counts (same shape as the uncapped
+        // path, minus the skew bomb)
+        val a = rareExpl.toDF("left_id", "__b", "left_size", "__shingle")
+        val b = rareExpl.toDF("right_id", "__b", "right_size", "__shingle")
+        val rarePairs = a.join(b, Seq("__b", "__shingle"))
+          .filter(col("left_id") < col("right_id"))
+          .groupBy("left_id", "right_id", "left_size", "right_size")
+          .agg(count(lit(1)).as("__inter_rare"))
+          .join(fpPairs, Seq("left_id", "right_id"), "left_anti")
+        // frequent-shingle correction: linear join of the small per-doc
+        // frequent arrays onto the candidates, intersected per pair
+        val corrected = rarePairs
+          .join(freqArr.select(col("__id").as("left_id"), col("__fsh").as("__fsh_l")),
+            Seq("left_id"), "left_outer")
+          .join(freqArr.select(col("__id").as("right_id"), col("__fsh").as("__fsh_r")),
+            Seq("right_id"), "left_outer")
+          .withColumn("__inter",
+            col("__inter_rare") + when(col("__fsh_l").isNull || col("__fsh_r").isNull, 0)
+              .otherwise(size(array_intersect(col("__fsh_l"), col("__fsh_r")))))
+          .withColumn("jaccard",
+            col("__inter").cast("double") /
+              (col("left_size") + col("right_size") - col("__inter")))
+          .select("left_id", "right_id", "jaccard")
+
+        val exactOnes = fpPairs.withColumn("jaccard", lit(1.0))
+        corrected.unionByName(exactOnes)
+          .filter(col("jaccard") >= threshold)
+          .select("left_id", "right_id", "jaccard")
+    }
   }
 }

@@ -57,10 +57,18 @@ object MinHash {
   /**
    * Candidate near-duplicate pairs (left_id < right_id) via LSH banding.
    * k = bands × rowsPerBand hashes; similarity threshold ≈ (1/bands)^(1/rows).
+   *
+   * `maxBucketSize`: skew guard — a band bucket holding d documents emits d²
+   * candidate pairs, and near-duplicate-heavy corpora (templated boilerplate,
+   * mass-mirrored pages) produce buckets of 10⁵+ docs whose self-join stalls
+   * the stage. Buckets above the cap are dropped from candidate generation;
+   * callers that set the cap MUST recover identical documents separately
+   * (see [[nearDuplicates]], which unions exact-fingerprint pairs back in).
    */
   def candidatePairs(docs: DataFrame, idCol: String, text: Column, n: Int = 3,
                      bands: Int = 8, rowsPerBand: Int = 4,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = docs.select(col(idCol).as("__id"),
       signature(text, n, k, seed).as("__sig"))
@@ -68,22 +76,51 @@ object MinHash {
       .select(col("__id"), explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__b"))
       .select(col("__id"), col("__b.band_idx").as("band_idx"),
         col("__b.band_hash").as("band_hash"))
-    val a = buckets.withColumnRenamed("__id", "left_id")
-    val b = buckets.withColumnRenamed("__id", "right_id")
+    val kept = maxBucketSize match {
+      case None => buckets
+      case Some(cap) =>
+        val small = buckets.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap)
+          .select("band_idx", "band_hash")
+        buckets.join(small, Seq("band_idx", "band_hash"), "left_semi")
+    }
+    val a = kept.withColumnRenamed("__id", "left_id")
+    val b = kept.withColumnRenamed("__id", "right_id")
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id")
       .distinct()
   }
 
-  /** Candidates + exact-Jaccard verification ≥ threshold. */
+  /** All (left < right) pairs of documents with identical normalized content
+    * — the complement that makes bucket caps safe: identical docs form the
+    * biggest buckets of all, but are recovered here by one fingerprint
+    * groupBy instead of LSH. */
+  private def exactPairs(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val fps = docs.select(col(idCol).as("__id"), TextFunctions.fingerprint(text).as("__fp"))
+    val a = fps.select(col("__fp"), col("__id").as("left_id"))
+    val b = fps.select(col("__fp"), col("__id").as("right_id"))
+    a.join(b, Seq("__fp")).filter(col("left_id") < col("right_id"))
+      .select("left_id", "right_id")
+  }
+
+  /** Candidates + exact-Jaccard verification ≥ threshold. With
+    * `maxBucketSize` set, giant LSH buckets are skipped and exact-duplicate
+    * pairs are recovered via content fingerprints, so the only losable pairs
+    * are non-identical docs whose every shared band hits a capped bucket. */
   def nearDuplicates(docs: DataFrame, idCol: String, text: Column,
                      threshold: Double, n: Int = 3, bands: Int = 8,
-                     rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+                     rowsPerBand: Int = 4, seed: Long = 42L,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
     // Candidate pairs are a tiny fraction of the corpus — persist them so the
     // exact-Jaccard verify join doesn't re-run the full shingle+band plan.
-    val cands = candidatePairs(docs, idCol, text, n, bands, rowsPerBand, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = candidatePairs(docs, idCol, text, n, bands, rowsPerBand, seed,
+      maxBucketSize)
+    val cands = (maxBucketSize match {
+      case None => lsh
+      case Some(_) => lsh.union(exactPairs(docs, idCol, text)).distinct()
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.ngramJaccard(cands, docs, idCol, text, n)
       .filter(col("jaccard") >= threshold)
   }

@@ -46,13 +46,22 @@ object SimHash {
    * Pairs (left_id < right_id) with Hamming distance ≤ maxDistance, using
    * (maxDistance+1)-chunk pigeonhole blocking so the join is equi, then an
    * exact Hamming filter.
+   *
+   * `maxBucketSize`: skew guard — identical/templated documents share a
+   * simhash, so one popular fingerprint puts d docs in the same chunk bucket
+   * and d² pairs into the join. Chunk buckets above the cap are skipped;
+   * documents with IDENTICAL simhash (distance 0 — the giant-bucket case by
+   * construction) are recovered exactly by a fingerprint-equality self-join
+   * that emits each group once, so capping only risks pairs at distance
+   * 1..maxDistance whose every matching chunk is over the cap.
    */
   def nearDuplicates(docs: DataFrame, idCol: String, text: Column,
-                     maxDistance: Int = 3): DataFrame = {
+                     maxDistance: Int = 3,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
     val chunks = maxDistance + 1
     val width = 64 / chunks
     val fps = fingerprints(docs, idCol, text)
-    val keyed = fps.select(col(idCol).as("__id"), col("simhash"),
+    val allKeyed = fps.select(col(idCol).as("__id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk_idx"),
           shiftright(col("simhash"), c * width)
@@ -60,15 +69,37 @@ object SimHash {
       }: _*)).as("__c"))
       .select(col("__id"), col("simhash"),
         col("__c.chunk_idx").as("chunk_idx"), col("__c.chunk_val").as("chunk_val"))
+    val keyed = maxBucketSize match {
+      case None => allKeyed
+      case Some(cap) =>
+        val small = allKeyed.groupBy("chunk_idx", "chunk_val")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap)
+          .select("chunk_idx", "chunk_val")
+        allKeyed.join(small, Seq("chunk_idx", "chunk_val"), "left_semi")
+    }
     val a = keyed.select(col("chunk_idx"), col("chunk_val"),
       col("__id").as("left_id"), col("simhash").as("__sh_l"))
     val b = keyed.select(col("chunk_idx"), col("chunk_val"),
       col("__id").as("right_id"), col("simhash").as("__sh_r"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+    val blocked = a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("left_id") < col("right_id"))
       .withColumn("hamming_dist", hamming(col("__sh_l"), col("__sh_r")))
       .filter(col("hamming_dist") <= maxDistance)
       .select("left_id", "right_id", "hamming_dist")
       .distinct()
+    maxBucketSize match {
+      case None => blocked
+      case Some(_) =>
+        // recover distance-0 pairs (identical simhash ⇒ every chunk bucket is
+        // the giant one) via a fingerprint-equality self-join
+        val ha = fps.select(col("simhash"), col(idCol).as("left_id"))
+        val hb = fps.select(col("simhash"), col(idCol).as("right_id"))
+        val zeros = ha.join(hb, Seq("simhash"))
+          .filter(col("left_id") < col("right_id"))
+          .select(col("left_id"), col("right_id"),
+            lit(0).cast("integer").as("hamming_dist"))
+        blocked.union(zeros).distinct()
+    }
   }
 }

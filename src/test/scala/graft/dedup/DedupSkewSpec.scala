@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/**
+ * Skew-guard behavior of the near-duplicate paths on a pathological block:
+ * many byte-identical documents (every shingle/band/chunk lands in one giant
+ * bucket) mixed with ordinary distinct docs. The guards must (a) still return
+ * every identical pair — recovered via exact fingerprints, not LSH — and
+ * (b) leave guard-off outputs unchanged.
+ */
+class DedupSkewSpec extends SparkSpecBase {
+
+  private val nDup = 40 // 40 identical docs → C(40,2) = 780 expected pairs
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val dup = (0 until nDup).map(i =>
+      (i.toLong, "blk", "the same boilerplate sentence repeated across every mirror of the page"))
+    val uniq = (nDup until nDup + 20).map(i =>
+      (i.toLong, "blk", s"document number $i has its own words entirely unlike any other item $i"))
+    (dup ++ uniq).toDF("doc_id", "source", "text")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private val allDupPairs: Set[(Long, Long)] =
+    (for { a <- 0 until nDup; b <- (a + 1) until nDup } yield (a.toLong, b.toLong)).toSet
+
+  test("ngramJaccardBlocked with doc-frequency cap keeps all identical pairs at jaccard 1") {
+    val out = Dedup.ngramJaccardBlocked(docs, "doc_id", col("source"), col("text"),
+      n = 3, threshold = 0.2, maxShingleDocFreq = Some(5))
+    assert(pairSet(out) == allDupPairs)
+    assert(out.agg(min("jaccard"), max("jaccard")).collect()(0) ===
+      org.apache.spark.sql.Row(1.0, 1.0))
+  }
+
+  test("ngramJaccardBlocked cap does not change the uncapped output on mixed corpora") {
+    val capped = Dedup.ngramJaccardBlocked(docs, "doc_id", col("source"), col("text"),
+      n = 3, threshold = 0.2, maxShingleDocFreq = Some(100))
+    val uncapped = Dedup.ngramJaccardBlocked(docs, "doc_id", col("source"), col("text"),
+      n = 3, threshold = 0.2)
+    assert(pairSet(capped) == pairSet(uncapped))
+  }
+
+  test("MinHash.nearDuplicates with bucket cap recovers identical docs via fingerprints") {
+    val out = MinHash.nearDuplicates(docs, "doc_id", col("text"), threshold = 0.5,
+      maxBucketSize = Some(5))
+    assert(pairSet(out) == allDupPairs)
+  }
+
+  test("MinHash.candidatePairs bucket cap drops the giant bucket") {
+    val capped = pairSet(
+      MinHash.candidatePairs(docs, "doc_id", col("text"), maxBucketSize = Some(5)))
+    // every band bucket of the 40-doc dup block exceeds the cap → no pair of
+    // identical docs survives (pairs among the merely-similar unique docs,
+    // whose buckets are small, legitimately remain)
+    assert(capped.intersect(allDupPairs).isEmpty)
+    val uncapped = pairSet(MinHash.candidatePairs(docs, "doc_id", col("text")))
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("SimHash.nearDuplicates with bucket cap still reports identical docs at distance 0") {
+    val out = SimHash.nearDuplicates(docs, "doc_id", col("text"), maxDistance = 3,
+      maxBucketSize = Some(5))
+    val zeroPairs = pairSet(out.filter(col("hamming_dist") === 0))
+    assert(allDupPairs.subsetOf(zeroPairs))
+  }
+}
