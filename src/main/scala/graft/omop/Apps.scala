@@ -31,6 +31,17 @@ object Apps {
   private[omop] def att(m: Map[String, String], key: String): AttType =
     m.get(key).map(AttType.fromName).getOrElse(AttType.CehrBert)
 
+  /** CDM table-name validation (reference utils/spark_utils.py:1283-1287):
+    * a typo'd `--domain_table_list` fails fast with the offending name
+    * instead of a raw path error deep inside a parquet scan. */
+  private[omop] def validateTableNames(tables: Seq[String]): Seq[String] = {
+    tables.foreach { t =>
+      require(OmopSchema.CdmTables.contains(t),
+        s"$t is an invalid CDM table name")
+    }
+    tables
+  }
+
   private[omop] def session(appName: String): SparkSession = {
     // spark-submit injects the master; bare `sbt runMain` runs fall back local
     val builder = SparkSession.builder().appName(appName)
@@ -48,8 +59,8 @@ object GenerateTrainingDataApp {
       val cfg = GenerateTrainingData.Config(
         inputFolder = a("input_folder"),
         outputFolder = Some(a("output_folder")),
-        domainTableList = a.getOrElse("domain_table_list",
-          "condition_occurrence procedure_occurrence drug_exposure").split("\\s+").toSeq,
+        domainTableList = validateTableNames(a.getOrElse("domain_table_list",
+          "condition_occurrence procedure_occurrence drug_exposure").split("\\s+").toSeq),
         dateFilter = a.get("date_filter"),
         includeVisitType = a.contains("include_visit_type"),
         excludeVisitTokens = a.contains("exclude_visit_tokens"),
@@ -92,8 +103,8 @@ object ExtractFeaturesApp {
         cohortName = a("cohort_name"),
         inputFolder = a("input_folder"),
         outputFolder = a("output_folder"),
-        ehrTableList = a.getOrElse("ehr_table_list",
-          "condition_occurrence procedure_occurrence drug_exposure").split("\\s+").toSeq,
+        ehrTableList = validateTableNames(a.getOrElse("ehr_table_list",
+          "condition_occurrence procedure_occurrence drug_exposure").split("\\s+").toSeq),
         personIdColumn = a.getOrElse("person_id_column", "person_id"),
         indexDateColumn = a.getOrElse("index_date_column", "index_date"),
         labelColumn = a.getOrElse("label_column", "label"),
@@ -135,6 +146,72 @@ object EhrShotToOmopApp {
       val spark = session("Convert EHRShot Data")
       EhrShotToOmop.run(spark, a("ehr_shot_file"), a("vocabulary_folder"),
         a("output_folder"), dayCutoff = a.getOrElse("day_cutoff", "1").toInt)
+      spark.stop()
+    }
+  }
+
+/** Reference tools/update_omop_visit.py: rewrite domain-table visit ids
+  * through the visit_mapping written by [[ConnectOmopVisitsApp]]. */
+object UpdateOmopVisitApp {
+  import Apps._
+    def main(args: Array[String]): Unit = {
+      val a = parseArgs(args)
+      val spark = session("Clean up visit_occurrence")
+      tools.UpdateOmopVisit.run(spark, a("input_folder"), a("output_folder"),
+        vocabularyFolder = a.get("vocabulary_folder"))
+      spark.stop()
+    }
+  }
+
+/** Reference tools/sample_omop_tables.py: person-sample every OMOP table. */
+object SampleOmopTablesApp {
+  import Apps._
+    def main(args: Array[String]): Unit = {
+      val a = parseArgs(args)
+      val spark = session("Sample OMOP Tables")
+      tools.SampleOmopTables.run(spark, a("person_sample"), a("omop_folder"),
+        a("output_folder"))
+      spark.stop()
+    }
+  }
+
+/** Reference tools/prepare_ehrshot_cohorts.py: run feature extraction for
+  * every labeled_patients.csv cohort under --cohort_dir. */
+object PrepareEhrShotCohortsApp {
+  import Apps._
+    def main(args: Array[String]): Unit = {
+      val a = parseArgs(args)
+      val spark = session("Prepare EHRShot cohorts")
+      val base = ExtractFeatures.Config(
+        cohortDir = a("cohort_dir"), // replaced per discovered cohort
+        cohortName = "",
+        inputFolder = a("input_folder"),
+        outputFolder = a("output_folder"),
+        ehrTableList = validateTableNames(a.getOrElse("ehr_table_list",
+          "condition_occurrence procedure_occurrence drug_exposure").split("\\s+").toSeq),
+        observationWindow = a.getOrElse("observation_window", "0").toInt,
+        holdOffWindow = a.getOrElse("hold_off_window", "0").toInt,
+        includeVisitType = a.contains("include_visit_type"),
+        attType = att(a, "att_type"),
+        inpatientAttType = att(a, "inpatient_att_type"),
+        keepSamplesWithNoFeatures = a.contains("keep_samples_with_no_features"),
+        shouldConstructArtificialVisits = a.contains("should_construct_artificial_visits"),
+        patientSplitsFolder = a.get("patient_splits_folder"))
+      tools.PrepareEhrShotCohorts.run(spark, a("cohort_dir"), base)
+      spark.stop()
+    }
+  }
+
+/** Reference tools/convert_prediction_time_to_str.py: snappy re-encode with
+  * prediction_time as an ISO string. */
+object ConvertPredictionTimeToStrApp {
+  import Apps._
+    def main(args: Array[String]): Unit = {
+      val a = parseArgs(args)
+      val spark = session("Convert prediction_time to string")
+      tools.ConvertPredictionTimeToStr.run(spark,
+        a.getOrElse("input", a.getOrElse("i", "")),
+        a.getOrElse("output", a.getOrElse("o", "")))
       spark.stop()
     }
   }
