@@ -45,8 +45,21 @@ object Apps {
   private[omop] def session(appName: String): SparkSession = {
     // spark-submit injects the master; bare `sbt runMain` runs fall back local
     val builder = SparkSession.builder().appName(appName)
-    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+    val isLocal = sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty
+    if (isLocal) {
       builder.master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+        .config("spark.sql.shuffle.partitions",
+          Runtime.getRuntime.availableProcessors().toString)
+    } else {
+      // Cluster path: the 200-partition default is far too low for TB-scale
+      // shuffles (partitions should land well under 1 GiB so they fit executor
+      // memory and AQE can only COALESCE, never split non-skewed partitions).
+      // Start high — AQE's runtime coalescing erases the cost of over-
+      // partitioning, while under-partitioning OOMs. Deployments can override
+      // via --conf; this is the default, not a pin.
+      if (sys.props.get("spark.sql.shuffle.partitions").isEmpty)
+        builder.config("spark.sql.shuffle.partitions", "2000")
+    }
     GraftSession.withDefaults(builder).getOrCreate()
   }
 }

@@ -101,11 +101,15 @@ object ArtificialVisits {
     }
 
     var orphanEvents = eventsWithVisit.where(col("visit_occurrence_id").isNull)
-    val maxVisitId = visit.agg(F.max("visit_occurrence_id")).collect()(0).get(0)
 
-    val newVisitIds = orphanEvents.select("person_id", "date").distinct()
-      .withColumn("visit_occurrence_id",
-        lit(maxVisitId) + F.rank().over(Window.orderBy("person_id", "date")))
+    // max(visit_occurrence_id) + rank over distinct (person, date): same id
+    // values as the reference, but the max rides a broadcast scalar cross
+    // join and the rank comes from the parallel allocator — no driver
+    // collect() and no single-partition window (one fewer job per build)
+    val newVisitIds = graft.operators.IdAllocator.allocateAboveMax(
+      orphanEvents.select("person_id", "date").distinct(),
+      visit, "visit_occurrence_id",
+      Seq(col("person_id"), col("date")), "visit_occurrence_id")
 
     orphanEvents = orphanEvents.drop("visit_occurrence_id")
       .join(newVisitIds, Seq("person_id", "date"))

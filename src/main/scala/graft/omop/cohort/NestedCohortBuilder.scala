@@ -101,9 +101,13 @@ final class NestedCohortBuilder(cfg: NestedCohortBuilder.Config) {
            |WHERE op.person_id IS NOT NULL OR o.person_id IS NOT NULL
            |""".stripMargin
 
-    var cohort = spark.sql(labelingSql)
-      .withColumn("cohort_member_id",
-        F.dense_rank().over(Window.orderBy("person_id", "index_date", "visit_occurrence_id")))
+    // dense_rank over the member triple in the reference — same id values
+    // (one per distinct triple, in sort order) from the parallel dense-key
+    // allocator, without the single-partition global window
+    var cohort = graft.operators.IdAllocator.denseKeyId(
+        spark.sql(labelingSql),
+        Seq("person_id", "index_date", "visit_occurrence_id"), "cohort_member_id")
+      .withColumn("cohort_member_id", col("cohort_member_id").cast("int"))
 
     // safeguard: one record per (person, member, index_date), positives first
     cohort = cohort
@@ -175,6 +179,12 @@ final class NestedCohortBuilder(cfg: NestedCohortBuilder.Config) {
           .write.mode("overwrite").parquet(s"$outputDataFolder/train")
         tagged.where(col("split") === "test")
           .write.mode("overwrite").parquet(s"$outputDataFolder/test")
+        // the temp copy exists only to break lineage between the tag join
+        // and the two filtered writes; remove it like the reference does
+        // (shutil.rmtree, spark_app_base.py:607)
+        val tempPath = new org.apache.hadoop.fs.Path(s"$outputDataFolder/temp")
+        tempPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(tempPath, /* recursive = */ true)
       case None =>
         cohort.orderBy(personIdColumn, indexDateColumn)
           .write.mode("overwrite").parquet(s"$outputDataFolder/data")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types._
 
 import graft.core.Checkpoints
+import graft.operators.IdAllocator
 
 /**
  * EHRShot long-format CSV → OMOP CDM converter: infer/repair visit ids
@@ -181,11 +182,15 @@ object EhrShotToOmop {
           F.coalesce(col("end").cast(DateType), col("visit_start_date"))),
       cacheFolder, "visit_reconstruction/real_visits")
 
-    // barrier makes the record ids deterministic before any reuse
+    // barrier makes the record ids deterministic before any reuse; ids come
+    // from the parallel zipWithIndex allocator, not a single-partition
+    // Window.orderBy (record_id is only ever used as a join/partition key,
+    // so the order itself is arbitrary — the barrier freezes it)
     var domainRecords = Checkpoints.persist(
-      dataRep.where(col("omop_table") =!= "visit_occurrence")
-        .withColumn("record_id",
-          F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))),
+      IdAllocator.sequentialId(
+        dataRep.where(col("omop_table") =!= "visit_occurrence"),
+        Seq(col("patient_id"), col("omop_table"), col("start"), col("code")),
+        "record_id"),
       cacheFolder, "visit_reconstruction/temp_domain_records")
     val domainFields = domainRecords.schema.fieldNames
 
@@ -202,14 +207,17 @@ object EhrShotToOmop {
         F.coalesce(col("visit.visit_id"), col("domain.visit_id")).as("visit_id"): _*)
 
     val maxVisitIdDf = realVisits.select(F.max("visit_id").as("max_visit_id"))
-    val orphanRecords = domainRecords
-      .where(col("visit_id").isNull)
-      .where(col("omop_table") =!= "person")
-      .crossJoin(maxVisitIdDf)
-      .withColumn("new_visit_id",
-        F.dense_rank().over(Window.orderBy(col("patient_id"), col("start").cast(DateType)))
-          .cast(LongType) + col("max_visit_id").cast(LongType))
-      .drop("visit_id")
+    // dense_rank over (patient, day) in the reference — same mapping from the
+    // scalable dense-key allocator (one id per distinct pair, sort order)
+    val orphanRecords = IdAllocator.denseKeyId(
+        domainRecords
+          .where(col("visit_id").isNull)
+          .where(col("omop_table") =!= "person")
+          .withColumn("start_date", col("start").cast(DateType)),
+        Seq("patient_id", "start_date"), "__day_rank")
+      .crossJoin(F.broadcast(maxVisitIdDf))
+      .withColumn("new_visit_id", col("__day_rank") + col("max_visit_id").cast(LongType))
+      .drop("visit_id", "start_date", "__day_rank")
 
     // every artificial visit belongs to exactly one patient
     orphanRecords.groupBy("new_visit_id")
@@ -275,23 +283,25 @@ object EhrShotToOmop {
       cacheFolder, "visit_reconstruction/visit_to_fix")
 
     val wVisit = Window.partitionBy("visit_id").orderBy("visit_order")
+    val partitioned = domainRecords.alias("domain")
+      .join(visitToFix.alias("visit"), col("domain.visit_id") === col("visit.visit_id"))
+      .select(col("domain.visit_id").as("visit_id"), col("domain.start").as("start"),
+        col("domain.code").as("code"))
+      .distinct()
+      .withColumn("visit_order",
+        F.row_number().over(Window.partitionBy("visit_id").orderBy("start")))
+      .withColumn("prev_start", F.lag("start", 1).over(wVisit))
+      .withColumn("hour_diff",
+        F.coalesce((F.unix_timestamp(col("start")) - F.unix_timestamp(col("prev_start"))) / 3600, lit(0)))
+      .withColumn("visit_partition",
+        F.sum((col("hour_diff") > 24).cast("int"))
+          .over(wVisit.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // dense_rank over (visit_id, visit_partition) in the reference — scalable
+    // dense-key allocation instead of the unpartitioned window
     val distinctVisitDateMapping = Checkpoints.persist(
-      domainRecords.alias("domain")
-        .join(visitToFix.alias("visit"), col("domain.visit_id") === col("visit.visit_id"))
-        .select(col("domain.visit_id").as("visit_id"), col("domain.start").as("start"),
-          col("domain.code").as("code"))
-        .distinct()
-        .withColumn("visit_order",
-          F.row_number().over(Window.partitionBy("visit_id").orderBy("start")))
-        .withColumn("prev_start", F.lag("start", 1).over(wVisit))
-        .withColumn("hour_diff",
-          F.coalesce((F.unix_timestamp(col("start")) - F.unix_timestamp(col("prev_start"))) / 3600, lit(0)))
-        .withColumn("visit_partition",
-          F.sum((col("hour_diff") > 24).cast("int"))
-            .over(wVisit.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("visit_partition_rank",
-          F.dense_rank().over(Window.orderBy(col("visit_id"), col("visit_partition"))))
-        .crossJoin(visitRecords.select(F.max("visit_id").as("max_visit_id")))
+      IdAllocator.denseKeyId(partitioned, Seq("visit_id", "visit_partition"),
+          "visit_partition_rank")
+        .crossJoin(F.broadcast(visitRecords.select(F.max("visit_id").as("max_visit_id"))))
         .withColumn("new_visit_id", col("max_visit_id") + col("visit_partition_rank"))
         .drop("max_visit_id"),
       cacheFolder, "visit_reconstruction/distinct_visit_date_mapping")
@@ -375,8 +385,10 @@ object EhrShotToOmop {
             when(col("visit_concept_id").isin(9201, 262, 8971, 8920),
               lit(0).cast(IntegerType)).otherwise(lit(null).cast(IntegerType)))
         else
-          domainTable.withColumn(s"${tableName}_id",
-            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())))
+          // surrogate primary key; parallel allocator instead of the
+          // reference's unpartitioned row_number (ehrshot_to_omop.py:898-900)
+          IdAllocator.sequentialId(domainTable,
+            Seq(col("patient_id"), col("start"), col("code")), s"${tableName}_id")
 
       // drop ignores the long-format source columns that were renamed away
       domainTable.drop(originalColumns: _*)

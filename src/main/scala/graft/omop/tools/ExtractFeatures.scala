@@ -86,8 +86,12 @@ object ExtractFeatures {
       .withColumn("index_date", col("index_date").cast(TimestampType))
       .select("person_id", "index_date", "label")
       .withColumn("label", col("label").cast(labelType))
-      .withColumn("cohort_member_id",
-        F.row_number().over(Window.orderBy("person_id", "index_date")))
+      // cohort tables are label-sized, so the reference's global row_number
+      // stays — but through the named single-partition allocator, so the
+      // choice (and its scale ceiling) is explicit; int to match upstream
+      .transform(d => graft.operators.IdAllocator.sequentialIdSinglePartition(
+        d, Seq(col("person_id"), col("index_date")), "cohort_member_id"))
+      .withColumn("cohort_member_id", col("cohort_member_id").cast(IntegerType))
   }
 
   def run(spark: SparkSession, cfg: Config): DataFrame = {

@@ -48,6 +48,23 @@ object IdAllocator {
     df.withColumn(idCol,
       (row_number().over(Window.orderBy(order: _*)) + lit(startAt - 1)).cast(LongType))
 
+  /**
+   * `dense_rank().over(Window.orderBy(keys))` replacement: one sequential id
+   * per DISTINCT key tuple, numbered 1..K in key sort order (identical to the
+   * dense_rank mapping), computed scalably — distinct + zipWithIndex over the
+   * (much smaller) key set, then a null-safe equi-join back on the keys. Two
+   * shuffles on high-cardinality keys instead of one single-partition sort of
+   * the full dataset.
+   */
+  def denseKeyId(df: DataFrame, keys: Seq[String], idCol: String,
+                 startAt: Long = 1L): DataFrame = {
+    val distinctKeys = df.select(keys.map(col): _*).distinct()
+    val keyed = sequentialId(distinctKeys, keys.map(col), idCol, startAt)
+    val renamed = keys.foldLeft(keyed)((d, k) => d.withColumnRenamed(k, s"__k_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    df.join(renamed, cond, "inner").drop(keys.map(k => s"__k_$k"): _*)
+  }
+
   /** Mint ids starting after the current maximum of `existingIds` — the
     * reference's `max(visit_occurrence_id) + rank()` pattern
     * (spark_utils.py:769-775, decorators/death_event_decorator.py:60-62).
