@@ -45,43 +45,48 @@ object TimeTokens {
   }
 
   private def num(c: Column): Column = c.cast("long")
+  /** Reference token functions return None for a missing delta
+    * (patient_event_decorator_base.py:94-95 etc.); a bare when-chain would
+    * fall through to the "LT" otherwise on null instead. */
+  private def nullGuard(d: Column, expr: Column): Column =
+    when(d.isNull, lit(null).cast("string")).otherwise(expr)
   private def tok(prefix: String, n: Column): Column =
     concat(lit(prefix), n.cast("long").cast("string"))
 
   /** F1 `time_token_func` (patient_event_decorator_base.py:93-102). */
   def cehrBertToken(days: Column): Column = {
     val d = num(days)
-    when(d < 0, lit("W-1"))
+    nullGuard(d, when(d < 0, lit("W-1"))
       .when(d < 28, tok("W", floor(d / 7)))
       .when(d < 360, tok("M", floor(d / 30)))
-      .otherwise(lit("LT"))
+      .otherwise(lit("LT")))
   }
 
   /** F2 `time_day_token` (:105-110). */
   def dayToken(days: Column): Column = {
     val d = num(days)
-    when(d < 1080, tok("D", d)).otherwise(lit("LT"))
+    nullGuard(d, when(d < 1080, tok("D", d)).otherwise(lit("LT")))
   }
 
   /** F3 `time_week_token` (:113-118). */
   def weekToken(days: Column): Column = {
     val d = num(days)
-    when(d < 1080, tok("W", floor(d / 7))).otherwise(lit("LT"))
+    nullGuard(d, when(d < 1080, tok("W", floor(d / 7))).otherwise(lit("LT")))
   }
 
   /** F4 `time_month_token` (:121-126). */
   def monthToken(days: Column): Column = {
     val d = num(days)
-    when(d < 1080, tok("M", floor(d / 30))).otherwise(lit("LT"))
+    nullGuard(d, when(d < 1080, tok("M", floor(d / 30))).otherwise(lit("LT")))
   }
 
   /** F5 `time_mix_token` (:129-152). */
   def mixToken(days: Column): Column = {
     val d = num(days)
-    when(d <= 7, tok("D", d))
+    nullGuard(d, when(d <= 7, tok("D", d))
       .when(d <= 30, tok("W", ceil(d.cast("double") / 7)))
       .when(d <= 360, tok("M", ceil(d.cast("double") / 30)))
-      .otherwise(lit("LT"))
+      .otherwise(lit("LT")))
   }
 
   /** F6 dispatch (:155-170). */
