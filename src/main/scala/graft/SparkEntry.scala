@@ -307,14 +307,14 @@ object SparkEntry {
           (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
     }),
 
-    // Rolling-hash (winnowing-style) document fingerprint, md5 variant.
+    // Rolling-hash (winnowing-style) document fingerprint, md5 variant —
+    // fused single-pass kernel (digests compared as raw bytes) instead of
+    // materializing a per-row array of hex strings through interpreted HOFs.
     "text3_rolling_fingerprint" -> ((s, dir) => {
       val t = lower(col("text"))
       T(s, dir, "documents")
         .filter(length(t) >= 8)
-        .select(col("doc_id"),
-          array_min(transform(sequence(lit(1), length(t) - 7), i => md5(t.substr(i, lit(8)))))
-            .as("rfp"))
+        .select(col("doc_id"), TF.rollingMd5Fingerprint(t, 8).as("rfp"))
     }),
 
     // Exact n-gram Jaccard over blocked pairs via the inverted-index join

@@ -148,4 +148,12 @@ object TextFunctions {
     val hs = transform(charShingles(text, k), s => xxhash64(s))
     when(size(hs) === 0, xxhash64(lit(""))).otherwise(array_min(hs))
   }
+
+  /** md5 variant of [[rollingFingerprint]] via the fused single-pass
+    * [[RollingMinMd5]] kernel: identical to
+    * `array_min(transform(sequence(1, len-k+1), i -> md5(substr(t, i, k))))`
+    * (null below k chars — filter first, as the HOF form requires too). */
+  def rollingMd5Fingerprint(text: Column, k: Int = 8): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      RollingMinMd5(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k))
 }
