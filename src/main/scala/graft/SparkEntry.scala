@@ -355,6 +355,14 @@ object SparkEntry {
       Knn.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3, dims = 64)
     }),
 
+    // IVF approximate top-k with Lloyd-refined centroids — cell-bucketed
+    // pair space, centroids broadcast; approximate → rows-only check (the
+    // exact-cosine kernel itself is oracled by knn1).
+    "knn3_ivf_top3" -> ((s, dir) => {
+      Knn.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+        nCells = 16, nProbe = 2, kmeansIters = 2)
+    }),
+
     // §2.5 W1/W2: per-entity event order (row_number) + record rank (dense_rank).
     "w1_event_order" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

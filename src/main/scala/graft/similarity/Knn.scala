@@ -99,17 +99,50 @@ object Knn {
   }
 
   /**
-   * IVF-style ANN: `nCells` centroids taken as a deterministic sample of the
-   * corpus; every vector is assigned to its nearest centroid (broadcast join —
-   * the centroid table is tiny); queries probe the `nProbe` nearest cells.
+   * Lloyd-iteration k-means centroids for IVF cell assignment, entirely with
+   * relational ops: seed centroids are a deterministic sample; each round
+   * assigns every vector to its nearest centroid (broadcast — the centroid
+   * table is k·dims doubles) and recomputes means by element via posexplode →
+   * (cell, pos) hash-agg. The per-round shuffle carries dims rows per vector
+   * keyed by (cell, position) — uniform, map-side combinable, no skew — so
+   * the loop holds at corpus scale; iterations are a small constant (IVF
+   * needs balanced cells, not converged ones).
+   */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    var centroids = v.orderBy(col("__id")).limit(nCells)
+      .select(col("__id").cast("long").as("cell_id"),
+        col("__v").cast("array<double>").as("__cv"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)
+      val assigned = v.crossJoin(broadcast(centroids))
+        .withColumn("__d", VectorFunctions.sqDist(col("__v"), col("__cv")))
+        .withColumn("__r", row_number().over(wAssign))
+        .filter(col("__r") === 1)
+        .select(col("cell_id"), col("__v"))
+      centroids = assigned
+        .select(col("cell_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("cell_id", "__pos")
+        .agg(avg(col("__x")).as("__mean"))
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__mean")))).as("__pm"))
+        .select(col("cell_id"),
+          transform(col("__pm"), pm => pm.getField("__mean")).as("__cv"))
+    }
+    centroids
+  }
+
+  /**
+   * IVF-style ANN: `nCells` centroids (deterministic sample, optionally
+   * Lloyd-refined with `kmeansIters` rounds); every vector is assigned to its
+   * nearest centroid (broadcast join — the centroid table is tiny); queries
+   * probe the `nProbe` nearest cells.
    */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    // deterministic "centroids": first nCells ids (k-means refinement is an
-    // optional later pass; cell assignment mechanics are identical)
-    val centroids = v.orderBy(col("__id")).limit(nCells)
-      .select(col("__id").as("cell_id"), col("__v").as("__cv"))
+    val centroids = kmeansCentroids(vecs, idCol, vecCol, nCells, kmeansIters)
     val assign = v.crossJoin(broadcast(centroids))
       .withColumn("__d", VectorFunctions.sqDist(col("__v"), col("__cv")))
     val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)
