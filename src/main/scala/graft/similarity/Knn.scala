@@ -115,11 +115,13 @@ object Knn {
       .select(col("__id").cast("long").as("cell_id"),
         col("__v").cast("array<double>").as("__cv"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)
+      // nearest-centroid assignment as a hash aggregate (min_by over the
+      // broadcast-expanded rows) — map-side combinable, no per-id sort
       val assigned = v.crossJoin(broadcast(centroids))
         .withColumn("__d", VectorFunctions.sqDist(col("__v"), col("__cv")))
-        .withColumn("__r", row_number().over(wAssign))
-        .filter(col("__r") === 1)
+        .groupBy("__id")
+        .agg(min_by(col("cell_id"), struct(col("__d"), col("cell_id"))).as("cell_id"),
+          first(col("__v")).as("__v"))
         .select(col("cell_id"), col("__v"))
       centroids = assigned
         .select(col("cell_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
