@@ -22,21 +22,21 @@ import graft.functions.TextFunctions
  */
 object SimHash {
 
-  /** (id, simhash BIGINT) per document. */
+  /** (id, simhash BIGINT) per document — the fused
+    * [[graft.functions.SimHashAggregate]] accumulates all 64 sign-sums per
+    * token in one compiled loop (the 64-column sum(when(...)) form evaluated
+    * 64 branch expressions per token; same partial-agg shuffle shape). */
   def fingerprints(docs: DataFrame, idCol: String, text: Column): DataFrame = {
     val toks = docs.select(col(idCol).as("__id"),
       explode_outer(TextFunctions.tokens(text)).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("__tok").isNull, 0)
-        .when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$b")
-    }
-    val agg = toks.groupBy("__id").agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64).map { b =>
-      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    agg.select(col("__id").as(idCol), packed.as("simhash"))
+    val simhash = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SimHashAggregate(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          when(col("__tok").isNull, lit(null).cast("long")).otherwise(col("__h"))))
+        .toAggregateExpression())
+    toks.groupBy("__id").agg(simhash.as("simhash"))
+      .select(col("__id").as(idCol), col("simhash"))
   }
 
   /** Hamming distance between two packed fingerprints. */
