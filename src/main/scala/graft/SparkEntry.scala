@@ -515,6 +515,19 @@ object SparkEntry {
           size(col("features")).cast("long").as("dims"))
     }),
 
+    // Multimodal: metadata resize + evenly spaced frame sampling — both pure
+    // column algebra over (meta, payload), oracled via integer reconstruction.
+    "mm3_media_resize_frames" -> ((s, dir) => {
+      val media = Multimodal.deriveMediaTable(T(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(Multimodal.resizeMeta(media, maxDim = 256), n = 4)
+        .select(col("media_id"),
+          col("resized_meta.width").as("rw"),
+          col("resized_meta.height").as("rh"),
+          size(col("frames")).cast("long").as("n_frames"),
+          aggregate(col("frames"), lit(0L), (a, f) => a + octet_length(f))
+            .as("frame_bytes"))
+    }),
+
     // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
     // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
     // generation can only lose pairs, never invent them, so equality both
@@ -980,6 +993,22 @@ object SparkEntry {
         | CAST(sum(sz * 10) AS BIGINT) AS total_duration_ms,
         | count(DISTINCT sample_rate) AS n_sample_rates
         |FROM m GROUP BY media_type""".stripMargin,
+
+    // integer reconstruction of resize scaling + frame-slice byte counts;
+    // double math (256/greatest) is IEEE-identical across engines
+    "mm3_media_resize_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS sz FROM documents),
+        |d AS (SELECT media_id, sz, sz % 640 + 64 AS w, sz % 480 + 48 AS h FROM m),
+        |s AS (SELECT *, least(1.0, 256 / CAST(greatest(w, h) AS DOUBLE)) AS scale FROM d)
+        |SELECT media_id,
+        |  CAST(ceil(w * scale) AS INT) AS rw,
+        |  CAST(ceil(h * scale) AS INT) AS rh,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(0, 4),
+        |    i -> greatest(least(greatest(sz // 4, 1), sz - (sz * i // 4)), 0))) AS BIGINT)
+        |    AS frame_bytes
+        |FROM s""".stripMargin,
 
     "mm2_media_features" ->
       """WITH b AS (

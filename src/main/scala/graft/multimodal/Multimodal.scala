@@ -119,11 +119,14 @@ object Multimodal {
   }
 
   /** Sample n evenly spaced frames as payload byte-slices (video stand-in:
-    * real frame extraction decodes the container; slicing shape is the same). */
+    * real frame extraction decodes the container; slicing shape is the same).
+    * Offsets use explicit floor division — Spark's `/` is double division,
+    * and feeding a double position into substr is an ANSI-mode hazard. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val len = F.octet_length(col("payload"))
+    val frameLen = F.greatest((len / n).cast(IntegerType), lit(1))
     media.withColumn("frames",
       F.transform(F.sequence(lit(0), lit(n - 1)), i =>
-        col("payload").substr(len * i / n + 1, F.greatest(len / n, lit(1)))))
+        col("payload").substr((len * i / n).cast(IntegerType) + 1, frameLen)))
   }
 }
