@@ -35,6 +35,21 @@ object StreamingEvents {
         window(col("ts"), "1 hour").as("hour_window"))
       .agg(count(lit(1)).as("n_events"), avg("value").as("avg_value"))
 
+  /**
+   * Streaming exact dedup (the streaming twin of `Dedup.exact`): drop rows
+   * whose content fingerprint was already seen within the watermark. State is
+   * one (fingerprint) key per distinct document bounded by the watermark —
+   * `dropDuplicatesWithinWatermark` expires state as event time advances, so
+   * an unbounded stream cannot accumulate unbounded dedup state.
+   */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

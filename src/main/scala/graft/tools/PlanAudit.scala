@@ -31,6 +31,15 @@ object PlanAudit {
         "column pruning" -> "ReadSchema: [^\n]*l_returnflag")),
       Check("j13_exists_big_spenders", Seq(
         "semi join" -> "LeftSemi")),
+      // pre-aggregated distinct: the count-distinct must not plan an Expand
+      // over the joined fact table
+      Check("j1_revenue_by_nation", Seq(
+        "no Expand from mixed distinct aggregate" -> "!Expand")),
+      // custom codegen'd kernels must appear as plain expressions (vec_dot),
+      // not CodegenFallback-wrapped higher-order functions
+      Check("knn1_cosine_top3", Seq(
+        "compiled dot-product kernel" -> "vec_dot",
+        "no interpreted lambda kernel" -> "!aggregate\\(zip_with")),
       Check("mm1_media_meta_stats", Seq(
         "payload-free scan (no text col read is impossible here since meta\n" +
           "derives from text; real media tables scan meta only)" -> "ReadSchema")))

@@ -63,4 +63,22 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(first.getAs[Timestamp]("session_end") == ts("2024-01-01 10:30:00"))
     assert(first.getAs[Int]("n_events") == 2)
   }
+
+  test("dedupStream drops watermark-window duplicates by content fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    val q = StreamingEvents.dedupStream(docs, "text", "ts")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "same content here"),
+      (2L, ts("2024-01-01 10:01:00"), "same content here"), // dup within watermark
+      (3L, ts("2024-01-01 10:02:00"), "different content"))
+    q.processAllAvailable()
+    val kept = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+
+    assert(kept == Set(1L, 3L))
+  }
 }
