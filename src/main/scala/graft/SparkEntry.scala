@@ -401,6 +401,16 @@ object SparkEntry {
         .withColumn("session_id", col("session_id").cast("long"))
     }),
 
+    // §2.4 A14: rollup (hierarchical grouping sets) — beyond the reference's
+    // surface (it never uses cube/rollup); subtotals + grand total per
+    // (returnflag, linestatus).
+    "a14_rollup_totals" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // §2.4 A6: qualified-concept filter (distinct-entity support threshold).
     "a6_qualified_types" -> ((s, dir) => {
       T(s, dir, "events")
@@ -906,6 +916,11 @@ object SparkEntry {
     "a11_max_price_per_brand" ->
       """SELECT p_brand, round(max(p_retailprice), 2) AS max_price
         |FROM part GROUP BY p_brand""".stripMargin,
+
+    "a14_rollup_totals" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "j8_overlap_master" ->
       """SELECT a.o_custkey, b.o_orderkey, min(a.o_orderkey) AS master_orderkey

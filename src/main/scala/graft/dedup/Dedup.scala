@@ -46,6 +46,9 @@ object Dedup {
     // array_intersect compares longs instead of strings — the pair join is
     // the quadratic part, so per-element cost there dominates everything.
     // (xxhash64 collisions within one document's shingle set are ~1e-15.)
+    // NOT persisted even though both join sides derive from it: shingle
+    // recompute is cheap codegen'd work, while pinning the exploded arrays
+    // on-heap for the lifetime of the query measurably worsens GC pressure.
     val sh = docs.select(col(idCol).as("__id"),
       array_distinct(transform(TextFunctions.shingles(text, n), s => xxhash64(s)))
         .as("__sh"))
@@ -104,7 +107,7 @@ object Dedup {
     // under the df-cap the shingle arrays feed both the index and the
     // exact-duplicate fingerprints — compute the text processing once
     val sh = if (maxShingleDocFreq.isDefined)
-      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else shRaw
     val exploded = sh.select(col("__id"), col("__b"), col("__size"),
       explode(col("__sh")).as("__shingle"))
@@ -132,7 +135,7 @@ object Dedup {
         // scan→shingle→explode→window; spills to disk at scale.
         val withDf = exploded.withColumn("__df",
           count(lit(1)).over(Window.partitionBy("__b", "__shingle")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val rareExpl = withDf.filter(col("__df") <= cap).drop("__df")
         // per-doc array of its frequent shingles — small for any real corpus
         // (a shingle shared by > cap docs is boilerplate, and a doc holds few)
