@@ -21,6 +21,7 @@ object GraftSession {
 
   /** Apply engine defaults to an arbitrary builder (used by Verify/Bench mains). */
   def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -45,9 +45,11 @@ object DownloadOmopTables {
   /** S5: range-partitioned scan; upper bound probed with SELECT MAX(id). */
   def downloadPartitioned(spark: SparkSession, cfg: JdbcConfig, table: String,
                           idColumn: String): DataFrame = {
+    // positional read: identifier case-folding is dialect-specific (Derby
+    // and Oracle upper-case unquoted aliases; Postgres lower-cases them)
     val maxId = reader(spark, cfg)
       .option("query", s"SELECT MAX($idColumn) AS max_id FROM $table")
-      .load().collect()(0).getAs[Number]("max_id").longValue()
+      .load().collect()(0).getAs[Number](0).longValue()
     reader(spark, cfg)
       .option("dbtable", table)
       .option("partitionColumn", idColumn)

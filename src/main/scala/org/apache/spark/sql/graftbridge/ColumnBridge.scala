@@ -20,4 +20,13 @@ object ColumnBridge {
 
   /** Unwrap a (classic-backend) Column to its Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager Column → Expression conversion. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper that only the analyzer unwraps; inside a
+    * function-registry builder that rule has already run, so the wrapper
+    * would survive to codegen as Unevaluable. This converts the node tree
+    * immediately (argument leaves may be `UnresolvedFunction`s — the
+    * enclosing plan's remaining analyzer iterations resolve them). */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
