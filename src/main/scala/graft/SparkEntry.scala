@@ -350,6 +350,16 @@ object SparkEntry {
       SimHash.fingerprints(T(s, dir, "documents"), "doc_id", col("text"))
     }),
 
+    // Near-dup clusters: connected components (min-reachable-id labels) over
+    // the verified MinHash pairs; oracled via a DuckDB recursive CTE over the
+    // equivalent brute-force pair set.
+    "dedup4_dup_clusters" -> ((s, dir) => {
+      val pairs = MinHash.nearDuplicates(T(s, dir, "documents"), "doc_id",
+        col("text"), threshold = 0.5)
+      Dedup.connectedComponents(pairs, "left_id", "right_id")
+        .select(col("node").as("doc_id"), col("component"))
+    }),
+
     // LSH-bucketed approximate top-k — the 100 TB scale path; rows-only check.
     "knn2_lsh_top3" -> ((s, dir) => {
       Knn.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3, dims = 64)
@@ -849,6 +859,31 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // Recursive-CTE reachability over the brute-force pair set (equal to the
+    // LSH pipeline's pairs — see dedup2): component = min reachable doc id.
+    "dedup4_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (
+        |  SELECT left_id AS a, right_id AS b FROM pairs
+        |  UNION SELECT right_id, left_id FROM pairs),
+        |reach(node, m) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m)
+        |SELECT node AS doc_id, min(m) AS component
+        |FROM reach GROUP BY node""".stripMargin,
 
     // Brute-force all-pairs cosine >= 0.95: LSH bucketing can only drop
     // pairs, so equality certifies no false positives (and exact agreement

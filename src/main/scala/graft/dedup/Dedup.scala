@@ -65,6 +65,49 @@ object Dedup {
       .drop("__sh_l", "__sh_r", "__inter", "__union")
   }
 
+  /**
+   * Connected components over a near-duplicate pair relation: every document
+   * gets `component` = the minimum doc id reachable through pair edges — the
+   * canonical cluster id for group-level dedup decisions (keep one per
+   * component, prefer the keeper by any order).
+   *
+   * Min-label propagation to fixpoint: labels start as own id; each round
+   * every node takes the min of its label and its neighbors' labels. Each
+   * round is one equi-join + hash-agg shuffled on node ids (uniform keys,
+   * map-side combinable); lineage is cut per round like
+   * [[graft.operators.TransitiveClosure]]. Rounds needed = component
+   * diameter — small for near-dup clusters (dense blobs), bounded by
+   * `maxIterations` as a chain-graph guard.
+   */
+  def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
+                          maxIterations: Int = 20): DataFrame = {
+    import graft.core.Checkpoints
+    val edges = Checkpoints.cut(
+      pairs.select(col(leftCol).cast("long").as("src"), col(rightCol).cast("long").as("dst"))
+        .union(pairs.select(col(rightCol).cast("long").as("src"), col(leftCol).cast("long").as("dst")))
+        .distinct())
+    var labels = Checkpoints.cut(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src").as("n")).agg(min("component").as("nbr_component"))
+      val updated = Checkpoints.cut(
+        labels.join(nbrMin, labels("node") === nbrMin("n"), "left_outer")
+          .select(col("node"),
+            least(col("component"), coalesce(col("nbr_component"), col("component")))
+              .as("component")))
+      val noChange = updated.as("u").join(labels.as("l"), "node")
+        .where(col("u.component") =!= col("l.component")).isEmpty
+      if (noChange) converged = true
+      labels = updated
+    }
+    labels
+  }
+
   /** All within-group candidate pairs (leftId < rightId) for a grouping key —
     * utility for small blocking keys (e.g. same source). */
   def blockedPairs(df: DataFrame, idCol: String, blockCol: Column): DataFrame = {

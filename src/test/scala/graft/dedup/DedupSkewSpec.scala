@@ -65,6 +65,17 @@ class DedupSkewSpec extends SparkSpecBase {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("connectedComponents labels a chain graph and separate components correctly") {
+    import spark.implicits._
+    // 1-2-3-...-10 chain (worst diameter) plus an isolated pair
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("left_id", "right_id")
+    val comp = Dedup.connectedComponents(pairs, "left_id", "right_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(comp(_) == 1L))
+    assert(comp(100L) == 100L && comp(101L) == 100L)
+  }
+
   test("SimHash.nearDuplicates with bucket cap still reports identical docs at distance 0") {
     val out = SimHash.nearDuplicates(docs, "doc_id", col("text"), maxDistance = 3,
       maxBucketSize = Some(5))
