@@ -104,13 +104,15 @@ object SparkEntry {
     }),
 
     // §2.3 J7 + §2.5 W12: as-of join — latest order at or before each event.
+    // union+sort as-of (one shuffle, linear output) — see TemporalJoins
+    // .asOfBackwardSorted; join+top-1 variant kept as asOfBackward (J7 both).
     "j7_asof_latest_order" -> ((s, dir) => {
       val ev = T(s, dir, "events").select("event_id", "user_id", "ts")
       val o = T(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
-      TemporalJoins.asOfBackward(ev, o, Seq("user_id"), Seq("o_custkey"),
-          col("ts"), col("o_ts"), leftId = Seq("event_id"),
-          tieBreak = Seq(col("o_orderkey").desc))
+      TemporalJoins.asOfBackwardSorted(ev, o, Seq("user_id"), Seq("o_custkey"),
+          col("ts"), col("o_ts"),
+          valueCols = Seq("o_orderkey", "o_ts"), tieBreakAsc = Seq("o_orderkey"))
         .select(col("event_id"), col("user_id"), col("o_orderkey").as("matched_orderkey"),
           col("o_ts").cast("date").as("matched_orderdate"))
     }),

@@ -57,6 +57,48 @@ object TemporalJoins {
   }
 
   /**
+   * Union+sort formulation of the backward as-of join — the 100 TB shape.
+   *
+   * [[asOfBackward]] materializes left×(right at-or-before) per key before
+   * the top-1 window: a key with r right rows multiplies the join output r×.
+   * Here both sides union into one stream sorted by (key, ts), and a
+   * last-non-null running window carries the most recent right payload to
+   * each left row — ONE shuffle on the equi key, output linear in |L|+|R|
+   * regardless of per-key density.
+   *
+   * Semantics match `asOfBackward(..., tieBreak = tieBreakAsc.reverse desc)`:
+   * among right rows sharing the winning timestamp, the LAST under
+   * `tieBreakAsc` ascending order wins. Left rows with no prior right row
+   * are dropped (inner as-of).
+   *
+   * @param valueCols   right columns to surface on the output
+   * @param tieBreakAsc right columns breaking timestamp ties (last wins)
+   */
+  def asOfBackwardSorted(left: DataFrame, right: DataFrame, leftKeys: Seq[String],
+                         rightKeys: Seq[String], leftTs: Column, rightTs: Column,
+                         valueCols: Seq[String],
+                         tieBreakAsc: Seq[String] = Nil): DataFrame = {
+    val payloadCols = (tieBreakAsc ++ valueCols).distinct
+    val r2 = right.select(
+      rightKeys.zip(leftKeys).map { case (r, l) => right(r).as(l) } ++
+        Seq(rightTs.as("__ts"), lit(0).as("__side"),
+          struct(payloadCols.map(right(_)): _*).as("__rv")): _*)
+    val l2 = left
+      .withColumn("__ts", leftTs)
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(r2.schema("__rv").dataType))
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(leftKeys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__match").isNotNull)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /**
    * Nearest-match join: like as-of but keeps the candidate minimizing
    * `abs(rightTs - leftTs)` regardless of direction
    * (reference ehrshot_to_omop.py:502-511 `matching_rank`).

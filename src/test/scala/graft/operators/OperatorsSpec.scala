@@ -40,6 +40,28 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.length == 1 && out(0).getAs[Long]("order_id") == 101L)
   }
 
+  test("asOfBackwardSorted agrees with asOfBackward, including timestamp ties and no-match drops") {
+    val rnd = new scala.util.Random(11)
+    val left = (1L to 200L).map(i =>
+      (i, i % 7, ts(f"2024-01-${rnd.nextInt(28) + 1}%02d 06:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = (1L to 300L).map(i =>
+      (i % 7, i, ts(f"2024-01-${rnd.nextInt(28) + 1}%02d 06:00:00"))) // ties guaranteed
+      .toDF("k", "order_id", "order_ts")
+
+    val viaJoin = TemporalJoins.asOfBackward(left, right, Seq("user_id"), Seq("k"),
+        col("ts"), col("order_ts"), leftId = Seq("event_id"),
+        tieBreak = Seq(col("order_id").desc))
+      .select("event_id", "order_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSort = TemporalJoins.asOfBackwardSorted(left, right, Seq("user_id"), Seq("k"),
+        col("ts"), col("order_ts"),
+        valueCols = Seq("order_id"), tieBreakAsc = Seq("order_id"))
+      .select("event_id", "order_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSort == viaJoin)
+  }
+
   test("TopKPerGroup.top1 keeps exactly one row per group by the given order") {
     val df = Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (2L, 12L, 3.0))
       .toDF("grp", "id", "score")
