@@ -42,18 +42,24 @@ object Dedup {
    */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, text: Column,
                    n: Int = 3): DataFrame = {
+    val leftId = pairs.columns(0)
+    val rightId = pairs.columns(1)
+    // Only documents that appear in a candidate pair need shingling — the
+    // candidate id set is tiny relative to the corpus (that's the point of
+    // LSH), so the expensive tokenize→shingle→hash runs on the few matched
+    // docs, not the whole corpus, on BOTH join sides. No broadcast hint: AQE
+    // picks broadcast when the id set is actually small, and degrades to a
+    // shuffled semi-join instead of an OOM on near-dup-saturated corpora.
+    val candIds = pairs.select(col(leftId).as("__cid"))
+      .union(pairs.select(col(rightId).as("__cid"))).distinct()
+    val docsNeeded = docs.join(candIds, col(idCol) === col("__cid"), "left_semi")
     // Shingles are hashed to 64-bit ints once per document, so the per-pair
     // array_intersect compares longs instead of strings — the pair join is
     // the quadratic part, so per-element cost there dominates everything.
     // (xxhash64 collisions within one document's shingle set are ~1e-15.)
-    // NOT persisted even though both join sides derive from it: shingle
-    // recompute is cheap codegen'd work, while pinning the exploded arrays
-    // on-heap for the lifetime of the query measurably worsens GC pressure.
-    val sh = docs.select(col(idCol).as("__id"),
+    val sh = docsNeeded.select(col(idCol).as("__id"),
       array_distinct(transform(TextFunctions.shingles(text, n), s => xxhash64(s)))
         .as("__sh"))
-    val leftId = pairs.columns(0)
-    val rightId = pairs.columns(1)
     pairs
       .join(sh.withColumnRenamed("__id", leftId).withColumnRenamed("__sh", "__sh_l"), leftId)
       .join(sh.withColumnRenamed("__id", rightId).withColumnRenamed("__sh", "__sh_r"), rightId)
@@ -82,10 +88,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           maxIterations: Int = 20): DataFrame = {
     import graft.core.Checkpoints
+    // one materialization of the (possibly expensive) pair pipeline BEFORE
+    // the self-union — union'ing the raw plan would evaluate it twice
+    val base = Checkpoints.cut(
+      pairs.select(col(leftCol).cast("long").as("src"), col(rightCol).cast("long").as("dst")))
     val edges = Checkpoints.cut(
-      pairs.select(col(leftCol).cast("long").as("src"), col(rightCol).cast("long").as("dst"))
-        .union(pairs.select(col(rightCol).cast("long").as("src"), col(leftCol).cast("long").as("dst")))
-        .distinct())
+      base.union(base.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     var labels = Checkpoints.cut(
       edges.select(col("src").as("node")).distinct()
         .withColumn("component", col("node")))
@@ -95,15 +103,15 @@ object Dedup {
       iter += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("n")).agg(min("component").as("nbr_component"))
+      // old label rides along so convergence is read off the same
+      // materialization — no second join per round
       val updated = Checkpoints.cut(
         labels.join(nbrMin, labels("node") === nbrMin("n"), "left_outer")
-          .select(col("node"),
+          .select(col("node"), col("component").as("__old"),
             least(col("component"), coalesce(col("nbr_component"), col("component")))
               .as("component")))
-      val noChange = updated.as("u").join(labels.as("l"), "node")
-        .where(col("u.component") =!= col("l.component")).isEmpty
-      if (noChange) converged = true
-      labels = updated
+      if (updated.where(col("component") =!= col("__old")).isEmpty) converged = true
+      labels = updated.drop("__old")
     }
     labels
   }
