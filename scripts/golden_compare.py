@@ -1,29 +1,37 @@
 #!/usr/bin/env python3
 """Golden cross-validation: run the reference PySpark pipeline and the graft
-Scala pipeline on the bundled sample OMOP data and diff all output columns.
+Scala pipeline on the bundled sample OMOP data and diff all output columns,
+in BOTH tested configurations.
 
 Usage:
-  1. Run the reference (pyspark, ANSI off to match its pinned 3.1 semantics):
+  1. Run the reference (pyspark, ANSI off to match its pinned 3.1 semantics)
+     — writes /tmp/ref_run/out (config 1) and /tmp/ref_run2/out (config 2);
+     skipped per-config when the output already exists:
        PYTHONPATH=/root/reference/src python3 scripts/golden_compare.py --run-reference
-  2. Run the graft side:
+  2. Run the graft side (writes both configs):
        sbt "runMain graft.tools.Probe"
-  3. Compare:
+  3. Compare both pairs:
        python3 scripts/golden_compare.py
 
-Expected: "NONE — full-field golden match".
+Expected: "NONE — full-field golden match" twice.
+
+Config 1: day ATT, day inpatient ATT, inpatient hour tokens, demographics.
+Config 2: cehr_bert ATT, mix inpatient ATT, age-group demographic tokens.
 """
 import math
+import os
 import sys
 
 import numpy as np
 import pyarrow.dataset as ds
 
-REF_OUT = "/tmp/ref_run/out/patient_sequence"
-GRAFT_OUT = "/tmp/graft_omop_out2/patient_sequence"
+CONFIGS = [
+    ("config1 day/day+hour", "/tmp/ref_run/out", "/tmp/graft_omop_out2"),
+    ("config2 cehr_bert/mix+age-group", "/tmp/ref_run2/out", "/tmp/graft_omop_run2"),
+]
 
 
 def run_reference():
-    import os
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
         "--master local[8] --driver-memory 8g "
         "--conf spark.sql.ansi.enabled=false "
@@ -32,9 +40,9 @@ def run_reference():
         "--conf spark.ui.enabled=false pyspark-shell")
     from cehrbert_data.apps.generate_training_data import main
     from cehrbert_data.decorators import AttType
-    main(
+
+    common = dict(
         input_folder="/root/reference/sample_data/omop_sample",
-        output_folder="/tmp/ref_run/out",
         domain_table_list=["condition_occurrence", "drug_exposure", "procedure_occurrence"],
         date_filter="1985-01-01",
         include_visit_type=True,
@@ -46,10 +54,15 @@ def run_reference():
         gpt_patient_sequence=True,
         apply_age_filter=True,
         include_death=False,
-        include_inpatient_hour_token=True,
-        att_type=AttType.DAY,
-        inpatient_att_type=AttType.DAY,
     )
+    if not os.path.exists("/tmp/ref_run/out/patient_sequence"):
+        main(output_folder="/tmp/ref_run/out",
+             att_type=AttType.DAY, inpatient_att_type=AttType.DAY,
+             include_inpatient_hour_token=True, **common)
+    if not os.path.exists("/tmp/ref_run2/out/patient_sequence"):
+        main(output_folder="/tmp/ref_run2/out",
+             att_type=AttType.CEHR_BERT, inpatient_att_type=AttType.MIX,
+             use_age_group=True, include_inpatient_hour_token=False, **common)
 
 
 def norm(v):
@@ -58,12 +71,14 @@ def norm(v):
     return v
 
 
-def compare():
-    ref = ds.dataset(REF_OUT).to_table().to_pandas().set_index("person_id").sort_index()
-    got = ds.dataset(GRAFT_OUT).to_table().to_pandas().set_index("person_id").sort_index()
-    assert list(ref.index) == list(got.index), "patient sets differ"
+def compare_one(name, ref_out, graft_out):
+    ref = ds.dataset(f"{ref_out}/patient_sequence").to_table().to_pandas() \
+        .set_index("person_id").sort_index()
+    got = ds.dataset(f"{graft_out}/patient_sequence").to_table().to_pandas() \
+        .set_index("person_id").sort_index()
+    assert list(ref.index) == list(got.index), f"{name}: patient sets differ"
     assert set(ref.columns) == set(got.columns), (
-        f"columns differ: {set(ref.columns) ^ set(got.columns)}")
+        f"{name}: columns differ: {set(ref.columns) ^ set(got.columns)}")
     bad = {}
     for c in ref.columns:
         n = 0
@@ -76,10 +91,14 @@ def compare():
                 n += 1
         if n:
             bad[c] = n
-    print("columns with mismatches:",
+    print(f"[{name}] columns with mismatches:",
           bad if bad else
           f"NONE — full-field golden match: {len(ref)} patients x {len(ref.columns)} columns")
     return 1 if bad else 0
+
+
+def compare():
+    return max(compare_one(*cfg) for cfg in CONFIGS)
 
 
 if __name__ == "__main__":

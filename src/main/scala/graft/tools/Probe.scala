@@ -4,30 +4,49 @@ import graft.core.GraftSession
 import graft.functions.TimeTokens.AttType
 import graft.omop.{GenerateTrainingData, OmopSchema}
 
-/** Scratch probe main: second golden configuration — cehr_bert inter-visit
-  * ATT, mix inpatient ATT, age-group demographic tokens. */
+/**
+ * Golden-config runner: produces the graft side of both end-to-end golden
+ * comparisons against the upstream run (see scripts/golden_compare.py).
+ *
+ *  - config 1 → /tmp/graft_omop_out2: day ATT + day inpatient ATT +
+ *    inpatient hour tokens + demographics;
+ *  - config 2 → /tmp/graft_omop_run2: cehr_bert ATT + mix inpatient ATT +
+ *    age-group demographic tokens.
+ */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val cfg = GenerateTrainingData.Config(
+    val base = GenerateTrainingData.Config(
       inputFolder = "/root/reference/sample_data/omop_sample",
-      outputFolder = Some("/tmp/graft_omop_run2"),
+      outputFolder = None,
       domainTableList = Seq(OmopSchema.ConditionOccurrence, OmopSchema.DrugExposure,
         OmopSchema.ProcedureOccurrence),
       dateFilter = Some("1985-01-01"),
       includeVisitType = true,
+      applyAgeFilter = true,
+      withDrugRollup = true)
+
+    val config1 = base.copy(
+      outputFolder = Some("/tmp/graft_omop_out2"),
+      attType = AttType.Day,
+      inpatientAttType = AttType.Day,
+      excludeDemographic = false,
+      includeInpatientHourToken = true)
+    val config2 = base.copy(
+      outputFolder = Some("/tmp/graft_omop_run2"),
       attType = AttType.CehrBert,
       inpatientAttType = AttType.Mix,
       excludeDemographic = false,
       useAgeGroup = true,
-      includeInpatientHourToken = false,
-      applyAgeFilter = true,
-      withDrugRollup = true)
-    val seq = GenerateTrainingData.run(spark, cfg, gptPatientSequence = true)
-    GenerateTrainingData.write(spark, cfg, seq, "/tmp/graft_omop_run2")
-    println("[probe] wrote /tmp/graft_omop_run2/patient_sequence")
+      includeInpatientHourToken = false)
+
+    Seq(config1, config2).foreach { cfg =>
+      val seq = GenerateTrainingData.run(spark, cfg, gptPatientSequence = true)
+      GenerateTrainingData.write(spark, cfg, seq, cfg.outputFolder.get)
+      println(s"[probe] wrote ${cfg.outputFolder.get}/patient_sequence")
+    }
     spark.stop()
   }
 }
