@@ -28,7 +28,53 @@ import pyarrow.dataset as ds
 CONFIGS = [
     ("config1 day/day+hour", "/tmp/ref_run/out", "/tmp/graft_omop_out2"),
     ("config2 cehr_bert/mix+age-group", "/tmp/ref_run2/out", "/tmp/graft_omop_run2"),
+    # config 3 runs on a COPY of the sample data augmented with a synthetic
+    # death table (the bundled sample has none), exercising DeathEventDecorator
+    ("config3 day/day+death", "/tmp/ref_run3/out", "/tmp/graft_omop_run3"),
 ]
+
+DEATH_INPUT = "/tmp/omop_sample_death"
+
+
+def make_death_input():
+    """Copy the sample CDM and add a deterministic death table (5 patients,
+    death 30 days after their last visit end)."""
+    import shutil
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = "/root/reference/sample_data/omop_sample"
+    if os.path.exists(f"{DEATH_INPUT}/death"):
+        return
+    if os.path.exists(DEATH_INPUT):
+        shutil.rmtree(DEATH_INPUT)
+    shutil.copytree(src, DEATH_INPUT)
+    visits = ds.dataset(f"{src}/visit_occurrence").to_table().to_pandas()
+    last = visits.groupby("person_id")["visit_end_date"].max().reset_index()
+    chosen = last.sort_values("person_id").head(5)
+    rows = []
+    for _, r in chosen.iterrows():
+        d = pd.to_datetime(r["visit_end_date"]) + pd.Timedelta(days=30)
+        rows.append(dict(person_id=int(r["person_id"]), death_date=d,
+                         death_datetime=d.to_pydatetime(),
+                         death_type_concept_id=38003566, cause_concept_id=0,
+                         cause_source_value=None, cause_source_concept_id=0))
+    df = pd.DataFrame(rows)
+    # explicit us/date32 schema: pandas defaults to TIMESTAMP(NANOS), which
+    # plain pyspark (no nanosAsLong) refuses to read
+    schema = pa.schema([
+        ("person_id", pa.int64()),
+        ("death_date", pa.date32()),
+        ("death_datetime", pa.timestamp("us")),
+        ("death_type_concept_id", pa.int64()),
+        ("cause_concept_id", pa.int64()),
+        ("cause_source_value", pa.string()),
+        ("cause_source_concept_id", pa.int64()),
+    ])
+    df["death_date"] = df["death_date"].dt.date
+    os.makedirs(f"{DEATH_INPUT}/death", exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+                   f"{DEATH_INPUT}/death/part-0.parquet")
 
 
 def run_reference():
@@ -63,6 +109,12 @@ def run_reference():
         main(output_folder="/tmp/ref_run2/out",
              att_type=AttType.CEHR_BERT, inpatient_att_type=AttType.MIX,
              use_age_group=True, include_inpatient_hour_token=False, **common)
+    if not os.path.exists("/tmp/ref_run3/out/patient_sequence"):
+        make_death_input()
+        cfg3 = dict(common, input_folder=DEATH_INPUT, include_death=True)
+        main(output_folder="/tmp/ref_run3/out",
+             att_type=AttType.DAY, inpatient_att_type=AttType.DAY,
+             include_inpatient_hour_token=False, **cfg3)
 
 
 def norm(v):

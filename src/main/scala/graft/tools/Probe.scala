@@ -41,8 +41,17 @@ object Probe {
       excludeDemographic = false,
       useAgeGroup = true,
       includeInpatientHourToken = false)
+    // config 3: death tokens, on the death-augmented copy of the sample CDM
+    // (scripts/golden_compare.py synthesizes /tmp/omop_sample_death)
+    val config3 = base.copy(
+      inputFolder = "/tmp/omop_sample_death",
+      outputFolder = Some("/tmp/graft_omop_run3"),
+      attType = AttType.Day,
+      inpatientAttType = AttType.Day,
+      excludeDemographic = false,
+      includeDeath = true)
 
-    Seq(config1, config2).foreach { cfg =>
+    Seq(config1, config2, config3).foreach { cfg =>
       val seq = GenerateTrainingData.run(spark, cfg, gptPatientSequence = true)
       GenerateTrainingData.write(spark, cfg, seq, cfg.outputFolder.get)
       println(s"[probe] wrote ${cfg.outputFolder.get}/patient_sequence")
