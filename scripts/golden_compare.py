@@ -31,7 +31,53 @@ CONFIGS = [
     # config 3 runs on a COPY of the sample data augmented with a synthetic
     # death table (the bundled sample has none), exercising DeathEventDecorator
     ("config3 day/day+death", "/tmp/ref_run3/out", "/tmp/graft_omop_run3"),
+    # config 4 runs on a copy of the sample with injected orphan condition
+    # events: problem-list disconnect -> interval re-link -> artificial visits
+    ("config4 day/day+artificial-visits", "/tmp/ref_run4/out", "/tmp/graft_omop_run4"),
 ]
+
+AV_INPUT = "/tmp/omop_sample_av"
+
+
+def make_av_input():
+    """Copy the sample CDM and append orphan condition events (null visit id):
+    one inside an existing visit span, one 4000 days out, for 6 patients."""
+    import shutil
+    import glob
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = "/root/reference/sample_data/omop_sample"
+    marker = f"{AV_INPUT}/condition_occurrence"
+    if os.path.exists(AV_INPUT):
+        co_probe = ds.dataset(marker).to_table().to_pandas()
+        if (co_probe["condition_source_value"] == "orphan").any():
+            return
+        shutil.rmtree(AV_INPUT)
+    shutil.copytree(src, AV_INPUT)
+    co = ds.dataset(f"{AV_INPUT}/condition_occurrence").to_table().to_pandas()
+    v = ds.dataset(f"{AV_INPUT}/visit_occurrence").to_table().to_pandas()
+    rows, next_id = [], 90000
+    for pid in sorted(v["person_id"].astype(int).unique())[:6]:
+        pv = v[v["person_id"].astype(int) == pid].iloc[0]
+        inside = pd.to_datetime(pv["visit_start_date"])
+        outside = inside + pd.Timedelta(days=4000)
+        for d in (inside, outside):
+            rows.append(dict(condition_occurrence_id=str(next_id), person_id=str(pid),
+                condition_concept_id="78272",
+                condition_start_date=d.strftime("%Y-%m-%d"),
+                condition_start_datetime=d.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                condition_end_date=None, condition_end_datetime=None,
+                condition_type_concept_id="32020", condition_status_concept_id=None,
+                stop_reason=None, provider_id=None, visit_occurrence_id=None,
+                condition_source_value="orphan", condition_source_concept_id="0",
+                condition_status_source_value=None))
+            next_id += 1
+    aug = pd.concat([co, pd.DataFrame(rows)], ignore_index=True)
+    for f in glob.glob(f"{AV_INPUT}/condition_occurrence/*"):
+        os.remove(f)
+    pq.write_table(pa.Table.from_pandas(aug, preserve_index=False),
+                   f"{AV_INPUT}/condition_occurrence/part-0.parquet")
 
 DEATH_INPUT = "/tmp/omop_sample_death"
 
@@ -115,6 +161,14 @@ def run_reference():
         main(output_folder="/tmp/ref_run3/out",
              att_type=AttType.DAY, inpatient_att_type=AttType.DAY,
              include_inpatient_hour_token=False, **cfg3)
+    if not os.path.exists("/tmp/ref_run4/out/patient_sequence"):
+        make_av_input()
+        cfg4 = dict(common, input_folder=AV_INPUT)
+        main(output_folder="/tmp/ref_run4/out",
+             att_type=AttType.DAY, inpatient_att_type=AttType.DAY,
+             include_inpatient_hour_token=False,
+             should_construct_artificial_visits=True,
+             disconnect_problem_list_records=True, **cfg4)
 
 
 def norm(v):

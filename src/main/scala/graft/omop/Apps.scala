@@ -87,7 +87,10 @@ object GenerateTrainingDataApp {
         withDrugRollup = !a.contains("no_drug_rollup"),
         aggregateByHour = a.contains("aggregate_by_hour"),
         isNewPatientRepresentation = a.contains("is_new_patient_representation"),
-        isClassicBert = a.contains("is_classic_bert"))
+        isClassicBert = a.contains("is_classic_bert"),
+        shouldConstructArtificialVisits = a.contains("should_construct_artificial_visits"),
+        duplicateRecords = a.contains("duplicate_records"),
+        disconnectProblemListRecords = a.contains("disconnect_problem_list_records"))
       val seq = GenerateTrainingData.run(spark, cfg,
         gptPatientSequence = a.contains("gpt_patient_sequence"))
       GenerateTrainingData.write(spark, cfg, seq, a("output_folder"))

@@ -37,6 +37,12 @@ object ArtificialVisits {
       disconnectProblemListRecords: Boolean = false): Result = {
 
     var patientEvents = patientEventsIn
+    // preserve the incoming column dtypes through every rewrite: the events
+    // carry ids/concepts as strings, and an int literal in a when/otherwise
+    // would coerce the whole column to numeric under ANSI (the reference runs
+    // ANSI-off and keeps strings)
+    val visitIdType = patientEventsIn.schema("visit_occurrence_id").dataType
+    val visitConceptType = patientEventsIn.schema("visit_concept_id").dataType
 
     val visit = visitOccurrence.select(
         col("person_id"),
@@ -55,10 +61,10 @@ object ArtificialVisits {
           Seq("visit_occurrence_id"), "left_outer")
         .withColumn("visit_occurrence_id",
           when(col("datetime").between(col("visit_start_lower_bound"), col("visit_end_upper_bound")),
-            col("visit_occurrence_id")).otherwise(lit(null).cast(IntegerType)))
+            col("visit_occurrence_id")).otherwise(lit(null).cast(visitIdType)))
         .withColumn("visit_concept_id",
           when(col("visit_occurrence_id").isNotNull, col("visit_concept_id"))
-            .otherwise(lit(0).cast(IntegerType)))
+            .otherwise(lit(0).cast(visitConceptType)))
         .drop("visit_start_lower_bound", "visit_end_upper_bound")
       patientEvents =
         if (duplicateRecords)
@@ -102,14 +108,22 @@ object ArtificialVisits {
 
     var orphanEvents = eventsWithVisit.where(col("visit_occurrence_id").isNull)
 
-    // max(visit_occurrence_id) + rank over distinct (person, date): same id
-    // values as the reference, but the max rides a broadcast scalar cross
-    // join and the rank comes from the parallel allocator — no driver
-    // collect() and no single-partition window (one fewer job per build)
+    // max(visit_occurrence_id) + rank over distinct (person, date), with the
+    // max over the NUMERIC value of the id: the reference maxes the raw
+    // string column, which is lexicographic ("999" > "1999") and mints ids
+    // that COLLIDE with real visits — harmless there only because its
+    // ANSI-off union stringifies them as "1000.0", matching no visit, so the
+    // colliding events silently vanish at the sequence join. Minting above
+    // the true max reproduces the same observable outcome (artificial ids
+    // never join the pre-construct visit table) without the latent
+    // cross-patient collision. Broadcast scalar + parallel allocator — no
+    // driver collect(), no single-partition window.
     val newVisitIds = graft.operators.IdAllocator.allocateAboveMax(
-      orphanEvents.select("person_id", "date").distinct(),
-      visit, "visit_occurrence_id",
-      Seq(col("person_id"), col("date")), "visit_occurrence_id")
+        orphanEvents.select("person_id", "date").distinct(),
+        visit.select(col("visit_occurrence_id").cast("long").as("visit_occurrence_id")),
+        "visit_occurrence_id",
+        Seq(col("person_id"), col("date")), "visit_occurrence_id")
+      .withColumn("visit_occurrence_id", col("visit_occurrence_id").cast(visitIdType))
 
     orphanEvents = orphanEvents.drop("visit_occurrence_id")
       .join(newVisitIds, Seq("person_id", "date"))
@@ -125,7 +139,7 @@ object ArtificialVisits {
       .select(
         col("visit_occurrence_id"),
         col("person_id"),
-        lit(0).as("visit_concept_id"),
+        lit(0).cast(visitConceptType).as("visit_concept_id"),
         F.to_date(col("visit_start_datetime")).as("visit_start_date"),
         col("visit_start_datetime"),
         F.to_date(col("visit_end_datetime")).as("visit_end_date"),

@@ -43,7 +43,10 @@ object GenerateTrainingData {
       aggregateByHour: Boolean = false,
       qualifiedConceptList: Option[DataFrame] = None,
       isNewPatientRepresentation: Boolean = true,
-      isClassicBert: Boolean = false)
+      isClassicBert: Boolean = false,
+      shouldConstructArtificialVisits: Boolean = false,
+      duplicateRecords: Boolean = false,
+      disconnectProblemListRecords: Boolean = false)
 
   /** Events + enriched visit table, pre-sequence (steps 2-6 of SURVEY §3.1). */
   def buildPatientEvents(spark: SparkSession, cfg: Config): (DataFrame, DataFrame, DataFrame) = {
@@ -89,6 +92,16 @@ object GenerateTrainingData {
       patientEvents.write.mode("overwrite").parquet(s"$folder/all_patient_events")
       patientEvents = spark.read.parquet(s"$folder/all_patient_events")
     }
+
+    // re-link / mint artificial visits between the barrier and the age
+    // filter (generate_training_data.py:158-167). Parity note: like the
+    // reference, the visit-person table used later for sequence assembly is
+    // the PRE-construct one — artificial visits exist only on the events.
+    if (cfg.shouldConstructArtificialVisits)
+      patientEvents = ArtificialVisits.construct(patientEvents, visitSlim,
+        persistenceFolder = cfg.outputFolder,
+        duplicateRecords = cfg.duplicateRecords,
+        disconnectProblemListRecords = cfg.disconnectProblemListRecords).patientEvents
 
     if (cfg.applyAgeFilter)
       patientEvents = patientEvents.where(col("age") < 90)

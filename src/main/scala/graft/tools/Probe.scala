@@ -50,8 +50,18 @@ object Probe {
       inpatientAttType = AttType.Day,
       excludeDemographic = false,
       includeDeath = true)
+    // config 4: problem-list disconnect + re-link + artificial visits, on a
+    // copy of the sample CDM with injected orphan condition events
+    val config4 = base.copy(
+      inputFolder = "/tmp/omop_sample_av",
+      outputFolder = Some("/tmp/graft_omop_run4"),
+      attType = AttType.Day,
+      inpatientAttType = AttType.Day,
+      excludeDemographic = false,
+      shouldConstructArtificialVisits = true,
+      disconnectProblemListRecords = true)
 
-    Seq(config1, config2, config3).foreach { cfg =>
+    Seq(config1, config2, config3, config4).foreach { cfg =>
       val seq = GenerateTrainingData.run(spark, cfg, gptPatientSequence = true)
       GenerateTrainingData.write(spark, cfg, seq, cfg.outputFolder.get)
       println(s"[probe] wrote ${cfg.outputFolder.get}/patient_sequence")
