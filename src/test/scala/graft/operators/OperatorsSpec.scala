@@ -77,6 +77,31 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("seq_id")).toSeq == (1L to 100L))
   }
 
+  test("Salting.saltedAggregate matches the direct aggregation on a skewed key") {
+    // one hot key with 5000 rows, many cold keys
+    val df = ((1 to 5000).map(_ => ("hot", 1.0)) ++ (1 to 200).map(i => (s"cold$i", 2.0)))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val salted = Salting.saltedAggregate(df, Seq("k"), buckets = 8,
+        partials = Seq(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("m")),
+        merges = Seq(sum("n").as("n"), sum("s").as("s"), max("m").as("m")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(salted == direct)
+  }
+
+  test("Salting.saltedJoin matches the plain join on a skewed key") {
+    val left = ((1 to 3000).map(_ => ("hot", "l")) ++ Seq(("cold", "l"))).toDF("k", "lv")
+    val right = Seq(("hot", 10), ("cold", 20), ("absent", 30)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedJoin(left, right, Seq("k"), buckets = 8)
+      .groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("TransitiveClosure.closure reaches all ancestors with min depth") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
       .toDF("child", "parent")
