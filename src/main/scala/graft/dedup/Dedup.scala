@@ -88,12 +88,16 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           maxIterations: Int = 20): DataFrame = {
     import graft.core.Checkpoints
-    // one materialization of the (possibly expensive) pair pipeline BEFORE
-    // the self-union — union'ing the raw plan would evaluate it twice
-    val base = Checkpoints.cut(
-      pairs.select(col(leftCol).cast("long").as("src"), col(rightCol).cast("long").as("dst")))
+    // both edge directions from ONE evaluation of the (possibly expensive)
+    // pair pipeline: explode emits (l→r, r→l) per pair, so a single
+    // materialization replaces the self-union's double evaluation
     val edges = Checkpoints.cut(
-      base.union(base.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      pairs.select(explode(array(
+          struct(col(leftCol).cast("long").as("src"), col(rightCol).cast("long").as("dst")),
+          struct(col(rightCol).cast("long").as("src"), col(leftCol).cast("long").as("dst"))))
+          .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .distinct())
     var labels = Checkpoints.cut(
       edges.select(col("src").as("node")).distinct()
         .withColumn("component", col("node")))
