@@ -34,6 +34,8 @@ CONFIGS = [
     # config 4 runs on a copy of the sample with injected orphan condition
     # events: problem-list disconnect -> interval re-link -> artificial visits
     ("config4 day/day+artificial-visits", "/tmp/ref_run4/out", "/tmp/graft_omop_run4"),
+    ("config5 day/day+exclude-visit-tokens", "/tmp/ref_run5/out", "/tmp/graft_omop_run5"),
+    ("config6 classic-bert", "/tmp/ref_run6/out", "/tmp/graft_omop_run6"),
 ]
 
 AV_INPUT = "/tmp/omop_sample_av"
@@ -161,6 +163,19 @@ def run_reference():
         main(output_folder="/tmp/ref_run3/out",
              att_type=AttType.DAY, inpatient_att_type=AttType.DAY,
              include_inpatient_hour_token=False, **cfg3)
+    if not os.path.exists("/tmp/ref_run5/out/patient_sequence"):
+        cfg5 = dict(common)
+        cfg5["exclude_visit_tokens"] = True
+        main(output_folder="/tmp/ref_run5/out",
+             att_type=AttType.DAY, inpatient_att_type=AttType.DAY,
+             include_inpatient_hour_token=False, **cfg5)
+    if not os.path.exists("/tmp/ref_run6/out/patient_sequence"):
+        cfg6 = dict(common)
+        cfg6["is_new_patient_representation"] = False
+        cfg6["is_classic_bert"] = True
+        main(output_folder="/tmp/ref_run6/out",
+             att_type=AttType.DAY, inpatient_att_type=AttType.DAY,
+             include_inpatient_hour_token=False, **cfg6)
     if not os.path.exists("/tmp/ref_run4/out/patient_sequence"):
         make_av_input()
         cfg4 = dict(common, input_folder=AV_INPUT)

@@ -61,7 +61,23 @@ object Probe {
       shouldConstructArtificialVisits = true,
       disconnectProblemListRecords = true)
 
-    Seq(config1, config2, config3, config4).foreach { cfg =>
+    // config 5: visit VS/VE tokens excluded
+    val config5 = base.copy(
+      outputFolder = Some("/tmp/graft_omop_run5"),
+      attType = AttType.Day,
+      inpatientAttType = AttType.Day,
+      excludeDemographic = false,
+      excludeVisitTokens = true)
+    // config 6: classic BERT week-binned representation
+    val config6 = base.copy(
+      outputFolder = Some("/tmp/graft_omop_run6"),
+      attType = AttType.Day,
+      inpatientAttType = AttType.Day,
+      excludeDemographic = false,
+      isNewPatientRepresentation = false,
+      isClassicBert = true)
+
+    Seq(config1, config2, config3, config4, config5, config6).foreach { cfg =>
       val seq = GenerateTrainingData.run(spark, cfg, gptPatientSequence = true)
       GenerateTrainingData.write(spark, cfg, seq, cfg.outputFolder.get)
       println(s"[probe] wrote ${cfg.outputFolder.get}/patient_sequence")
