@@ -77,24 +77,28 @@ object Dedup {
    * canonical cluster id for group-level dedup decisions (keep one per
    * component, prefer the keeper by any order).
    *
-   * Min-label propagation to fixpoint: labels start as own id; each round
-   * every node takes the min of its label and its neighbors' labels. Each
-   * round is one equi-join + hash-agg shuffled on node ids (uniform keys,
-   * map-side combinable); lineage is cut per round like
-   * [[graft.operators.TransitiveClosure]]. Rounds needed = component
-   * diameter — small for near-dup clusters (dense blobs), bounded by
-   * `maxIterations` as a chain-graph guard.
+   * Min-label propagation with pointer doubling to fixpoint: labels start as
+   * own id; each round every node takes the min of its label, its neighbors'
+   * labels, AND its label's label (path compression — the "label of label"
+   * jump halves chain lengths, so rounds needed = O(log diameter), not
+   * O(diameter)). Each round is two equi-joins + a hash-agg shuffled on node
+   * ids (uniform keys, map-side combinable); lineage is cut per round like
+   * [[graft.operators.TransitiveClosure]]. If the fixpoint is not reached
+   * within `maxIterations` (would need a component of diameter > 2^20 at the
+   * default) this THROWS rather than silently returning split components.
    */
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           maxIterations: Int = 20): DataFrame = {
     import graft.core.Checkpoints
     // both edge directions from ONE evaluation of the (possibly expensive)
     // pair pipeline: explode emits (l→r, r→l) per pair, so a single
-    // materialization replaces the self-union's double evaluation
+    // materialization replaces the self-union's double evaluation. Ids keep
+    // their original type (no cast — string ids are legal; min-label is then
+    // the lexicographic minimum, still a canonical component id).
     val edges = Checkpoints.cut(
       pairs.select(explode(array(
-          struct(col(leftCol).cast("long").as("src"), col(rightCol).cast("long").as("dst")),
-          struct(col(rightCol).cast("long").as("src"), col(leftCol).cast("long").as("dst"))))
+          struct(col(leftCol).as("src"), col(rightCol).as("dst")),
+          struct(col(rightCol).as("src"), col(leftCol).as("dst"))))
           .as("__e"))
         .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct())
@@ -107,16 +111,26 @@ object Dedup {
       iter += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("n")).agg(min("component").as("nbr_component"))
+      // pointer doubling: the label my current label points at. Self-labeled
+      // roots resolve to themselves, so coalesce only covers pruned labels.
+      val lbl2 = labels.select(col("node").as("__c"), col("component").as("__cc"))
       // old label rides along so convergence is read off the same
       // materialization — no second join per round
       val updated = Checkpoints.cut(
         labels.join(nbrMin, labels("node") === nbrMin("n"), "left_outer")
+          .join(lbl2, labels("component") === col("__c"), "left_outer")
           .select(col("node"), col("component").as("__old"),
-            least(col("component"), coalesce(col("nbr_component"), col("component")))
+            least(
+              least(col("component"), coalesce(col("nbr_component"), col("component"))),
+              coalesce(col("__cc"), col("component")))
               .as("component")))
       if (updated.where(col("component") =!= col("__old")).isEmpty) converged = true
       labels = updated.drop("__old")
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds — " +
+          "component diameter exceeds 2^maxIterations; raise maxIterations")
     labels
   }
 

@@ -70,8 +70,13 @@ object MinHash {
                      seed: Long = 42L,
                      maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
+    // Drop empty-shingle docs (all−1 sentinel signature — min hash of a
+    // nonempty set is in [0, p)): they all share one giant bucket whose d²
+    // pairs are discarded downstream at any threshold > 0 anyway. Identical
+    // sub-n-token docs are a fingerprint-group concern, not an LSH one.
     val sigs = docs.select(col(idCol).as("__id"),
       signature(text, n, k, seed).as("__sig"))
+      .filter(element_at(col("__sig"), 1) =!= -1L)
     val buckets = sigs
       .select(col("__id"), explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__b"))
       .select(col("__id"), col("__b.band_idx").as("band_idx"),
@@ -93,33 +98,62 @@ object MinHash {
       .distinct()
   }
 
-  /** All (left < right) pairs of documents with identical normalized content
-    * — the complement that makes bucket caps safe: identical docs form the
-    * biggest buckets of all, but are recovered here by one fingerprint
-    * groupBy instead of LSH. */
-  private def exactPairs(docs: DataFrame, idCol: String, text: Column): DataFrame = {
-    val fps = docs.select(col(idCol).as("__id"), TextFunctions.fingerprint(text).as("__fp"))
-    val a = fps.select(col("__fp"), col("__id").as("left_id"))
-    val b = fps.select(col("__fp"), col("__id").as("right_id"))
-    a.join(b, Seq("__fp")).filter(col("left_id") < col("right_id"))
-      .select("left_id", "right_id")
+  /** Pairs of documents with identical normalized content — the complement
+    * that makes bucket caps safe: identical docs form the biggest buckets of
+    * all, but are recovered here by one fingerprint groupBy instead of LSH.
+    *
+    * Docs with fewer than `n` tokens (empty shingle sets) are excluded: every
+    * pair among them has Jaccard 0 under n-gram verification, so they were
+    * only ever generated to be discarded — and ALL empty/whitespace docs
+    * share `fingerprint('')`, making them the worst O(d²) group of the lot.
+    *
+    * `star = true` emits the d−1 star edges (group-min id → other id) per
+    * fingerprint group instead of the full d(d−1)/2 clique — the shape
+    * consumers like [[Dedup.connectedComponents]] want (identical component
+    * labels, linear output), and the only uncapped-quadratic path left once
+    * LSH buckets are capped. */
+  private def exactPairs(docs: DataFrame, idCol: String, text: Column, n: Int,
+                         star: Boolean): DataFrame = {
+    val fps = docs
+      .filter(size(TextFunctions.tokens(text)) >= n)
+      .select(col(idCol).as("__id"), TextFunctions.fingerprint(text).as("__fp"))
+    if (star) {
+      val reps = fps.groupBy("__fp")
+        .agg(min(col("__id")).as("left_id"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .select("__fp", "left_id")
+      fps.join(reps, Seq("__fp"))
+        .filter(col("__id") =!= col("left_id"))
+        .select(col("left_id"), col("__id").as("right_id"))
+    } else {
+      val a = fps.select(col("__fp"), col("__id").as("left_id"))
+      val b = fps.select(col("__fp"), col("__id").as("right_id"))
+      a.join(b, Seq("__fp")).filter(col("left_id") < col("right_id"))
+        .select("left_id", "right_id")
+    }
   }
 
   /** Candidates + exact-Jaccard verification ≥ threshold. With
     * `maxBucketSize` set, giant LSH buckets are skipped and exact-duplicate
     * pairs are recovered via content fingerprints, so the only losable pairs
-    * are non-identical docs whose every shared band hits a capped bucket. */
+    * are non-identical docs whose every shared band hits a capped bucket.
+    * `exactStar = true` thins the recovered exact-duplicate groups to star
+    * edges (representative → member, Jaccard exactly 1 by construction) —
+    * use it when feeding [[Dedup.connectedComponents]] or any consumer that
+    * doesn't need the full clique, since an identical-document group of size
+    * d otherwise emits d(d−1)/2 output rows no cap can prevent. */
   def nearDuplicates(docs: DataFrame, idCol: String, text: Column,
                      threshold: Double, n: Int = 3, bands: Int = 8,
                      rowsPerBand: Int = 4, seed: Long = 42L,
-                     maxBucketSize: Option[Int] = None): DataFrame = {
+                     maxBucketSize: Option[Int] = None,
+                     exactStar: Boolean = false): DataFrame = {
     // Candidate pairs are a tiny fraction of the corpus — persist them so the
     // exact-Jaccard verify join doesn't re-run the full shingle+band plan.
     val lsh = candidatePairs(docs, idCol, text, n, bands, rowsPerBand, seed,
       maxBucketSize)
     val cands = (maxBucketSize match {
       case None => lsh
-      case Some(_) => lsh.union(exactPairs(docs, idCol, text)).distinct()
+      case Some(_) => lsh.union(exactPairs(docs, idCol, text, n, exactStar)).distinct()
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.ngramJaccard(cands, docs, idCol, text, n)
       .filter(col("jaccard") >= threshold)

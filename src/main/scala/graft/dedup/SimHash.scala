@@ -54,10 +54,16 @@ object SimHash {
    * construction) are recovered exactly by a fingerprint-equality self-join
    * that emits each group once, so capping only risks pairs at distance
    * 1..maxDistance whose every matching chunk is over the cap.
+   *
+   * `zeroStar`: the recovery self-join is itself O(d²) for an
+   * identical-simhash group of d docs. With `zeroStar = true` it emits the
+   * d−1 star edges (group-min id → member) instead of the clique — same
+   * connected components, linear output; use for cluster-labeling consumers.
    */
   def nearDuplicates(docs: DataFrame, idCol: String, text: Column,
                      maxDistance: Int = 3,
-                     maxBucketSize: Option[Int] = None): DataFrame = {
+                     maxBucketSize: Option[Int] = None,
+                     zeroStar: Boolean = false): DataFrame = {
     val chunks = maxDistance + 1
     val width = 64 / chunks
     val fps = fingerprints(docs, idCol, text)
@@ -93,12 +99,23 @@ object SimHash {
       case Some(_) =>
         // recover distance-0 pairs (identical simhash ⇒ every chunk bucket is
         // the giant one) via a fingerprint-equality self-join
-        val ha = fps.select(col("simhash"), col(idCol).as("left_id"))
-        val hb = fps.select(col("simhash"), col(idCol).as("right_id"))
-        val zeros = ha.join(hb, Seq("simhash"))
-          .filter(col("left_id") < col("right_id"))
-          .select(col("left_id"), col("right_id"),
-            lit(0).cast("integer").as("hamming_dist"))
+        val zeros = if (zeroStar) {
+          val reps = fps.groupBy("simhash")
+            .agg(min(col(idCol)).as("left_id"), count(lit(1)).as("__n"))
+            .filter(col("__n") > 1)
+            .select("simhash", "left_id")
+          fps.join(reps, Seq("simhash"))
+            .filter(col(idCol) =!= col("left_id"))
+            .select(col("left_id"), col(idCol).as("right_id"),
+              lit(0).cast("integer").as("hamming_dist"))
+        } else {
+          val ha = fps.select(col("simhash"), col(idCol).as("left_id"))
+          val hb = fps.select(col("simhash"), col(idCol).as("right_id"))
+          ha.join(hb, Seq("simhash"))
+            .filter(col("left_id") < col("right_id"))
+            .select(col("left_id"), col("right_id"),
+              lit(0).cast("integer").as("hamming_dist"))
+        }
         blocked.union(zeros).distinct()
     }
   }

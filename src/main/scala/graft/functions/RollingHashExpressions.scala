@@ -68,20 +68,28 @@ object RollingMinMd5 {
 
   /** Called from both interpreted eval and generated code. */
   def compute(text: UTF8String, k: Int): UTF8String = {
-    // windows are CHARACTER-based (substr semantics); work on the decoded
-    // string so multi-byte code points count as one position
+    // windows are CODE-POINT-based: Spark's substr/length count code points,
+    // not UTF-16 units, so supplementary characters (emoji) must occupy ONE
+    // window position for this to stay identical to the HOF substr form —
+    // and for the n<k null check to agree with callers' length(t)>=k filters.
     val s = text.toString
-    val n = s.length
+    val n = s.codePointCount(0, s.length)
     if (n < k) return null
     val md = digestPool.get()
     var best: Array[Byte] = null
     var i = 0
+    var startChar = 0
+    var endChar = s.offsetByCodePoints(0, k)
     while (i + k <= n) {
       md.reset()
-      val window = s.substring(i, i + k).getBytes(StandardCharsets.UTF_8)
+      val window = s.substring(startChar, endChar).getBytes(StandardCharsets.UTF_8)
       val digest = md.digest(window)
       if (best == null || lessThan(digest, best)) best = digest
       i += 1
+      if (i + k <= n) {
+        startChar = s.offsetByCodePoints(startChar, 1)
+        endChar = s.offsetByCodePoints(endChar, 1)
+      }
     }
     val hex = new Array[Char](32)
     var j = 0

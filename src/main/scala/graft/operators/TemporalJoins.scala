@@ -69,7 +69,10 @@ object TemporalJoins {
    * Semantics match `asOfBackward(..., tieBreak = tieBreakAsc.reverse desc)`:
    * among right rows sharing the winning timestamp, the LAST under
    * `tieBreakAsc` ascending order wins. Left rows with no prior right row
-   * are dropped (inner as-of).
+   * are dropped (inner as-of). Rows with a null timestamp on either side are
+   * dropped before the union — in [[asOfBackward]] they fall out because the
+   * `rightTs <= leftTs` join condition evaluates null; here asc ordering
+   * would otherwise sort them FIRST in every partition and invent matches.
    *
    * @param valueCols   right columns to surface on the output
    * @param tieBreakAsc right columns breaking timestamp ties (last wins)
@@ -79,11 +82,16 @@ object TemporalJoins {
                          valueCols: Seq[String],
                          tieBreakAsc: Seq[String] = Nil): DataFrame = {
     val payloadCols = (tieBreakAsc ++ valueCols).distinct
-    val r2 = right.select(
+    // Null equi-keys likewise never match under `===` but WOULD group
+    // together under partitionBy — drop them on both sides too.
+    val rKeysOk = rightKeys.map(right(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+    val lKeysOk = leftKeys.map(left(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+    val r2 = right.filter(rightTs.isNotNull && rKeysOk).select(
       rightKeys.zip(leftKeys).map { case (r, l) => right(r).as(l) } ++
         Seq(rightTs.as("__ts"), lit(0).as("__side"),
           struct(payloadCols.map(right(_)): _*).as("__rv")): _*)
     val l2 = left
+      .filter(leftTs.isNotNull && lKeysOk)
       .withColumn("__ts", leftTs)
       .withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(r2.schema("__rv").dataType))

@@ -111,8 +111,11 @@ object Knn {
   def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
                       nCells: Int, iters: Int): DataFrame = {
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // cell_id is minted by row_number over the seed sample, NOT by casting the
+    // user id — string ids would throw under ANSI (or null out ANSI-off). The
+    // unpartitioned window is bounded: it runs over at most nCells rows.
     var centroids = v.orderBy(col("__id")).limit(nCells)
-      .select(col("__id").cast("long").as("cell_id"),
+      .select(row_number().over(Window.orderBy(col("__id"))).cast("long").as("cell_id"),
         col("__v").cast("array<double>").as("__cv"))
     for (_ <- 0 until iters) {
       // nearest-centroid assignment as a hash aggregate (min_by over the

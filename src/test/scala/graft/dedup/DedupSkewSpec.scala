@@ -82,4 +82,53 @@ class DedupSkewSpec extends SparkSpecBase {
     val zeroPairs = pairSet(out.filter(col("hamming_dist") === 0))
     assert(allDupPairs.subsetOf(zeroPairs))
   }
+
+  test("connectedComponents converges on a diameter-200 chain within 20 rounds (pointer doubling)") {
+    import spark.implicits._
+    val pairs = (1L to 200L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val comp = Dedup.connectedComponents(pairs, "left_id", "right_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 201L).forall(comp(_) == 1L))
+  }
+
+  test("connectedComponents keeps string ids intact (no numeric cast)") {
+    import spark.implicits._
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y"))
+      .toDF("left_id", "right_id")
+    val comp = Dedup.connectedComponents(pairs, "left_id", "right_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("doc-a", "doc-b", "doc-c").forall(comp(_) == "doc-a"))
+    assert(comp("x") == "x" && comp("y") == "x")
+  }
+
+  test("MinHash.nearDuplicates exactStar thins the identical group to star edges") {
+    val out = MinHash.nearDuplicates(docs, "doc_id", col("text"), threshold = 0.5,
+      maxBucketSize = Some(5), exactStar = true)
+    val dupEdges = pairSet(out).filter { case (a, b) => a < nDup && b < nDup }
+    // star: representative (min id 0) → each member, d−1 edges, all jaccard 1
+    assert(dupEdges == (1 until nDup).map(b => (0L, b.toLong)).toSet)
+    assert(out.filter(col("left_id") === 0).agg(min("jaccard")).collect()(0).getDouble(0) == 1.0)
+  }
+
+  test("empty and sub-n-token docs never generate candidate pairs") {
+    import spark.implicits._
+    val withEmpties = docs.union(Seq(
+      (900L, "blk", ""), (901L, "blk", "   "), (902L, "blk", ""),
+      (903L, "blk", "two words")) // < n=3 tokens → empty shingle set
+      .toDF("doc_id", "source", "text"))
+    val cands = pairSet(MinHash.candidatePairs(withEmpties, "doc_id", col("text")))
+    assert(!cands.exists { case (a, b) => a >= 900L || b >= 900L })
+    val near = pairSet(MinHash.nearDuplicates(withEmpties, "doc_id", col("text"),
+      threshold = 0.5, maxBucketSize = Some(5)))
+    assert(!near.exists { case (a, b) => a >= 900L || b >= 900L })
+    assert(allDupPairs.subsetOf(near))
+  }
+
+  test("SimHash.nearDuplicates zeroStar emits star edges for the identical-simhash group") {
+    val out = SimHash.nearDuplicates(docs, "doc_id", col("text"), maxDistance = 3,
+      maxBucketSize = Some(5), zeroStar = true)
+    val zeroDup = pairSet(out.filter(col("hamming_dist") === 0))
+      .filter { case (a, b) => a < nDup && b < nDup }
+    assert(zeroDup == (1 until nDup).map(b => (0L, b.toLong)).toSet)
+  }
 }

@@ -62,6 +62,33 @@ class OperatorsSpec extends SparkSpecBase {
     assert(viaSort == viaJoin)
   }
 
+  test("asOfBackwardSorted drops null timestamps and null keys exactly like asOfBackward") {
+    // null right ts would sort FIRST under asc and get carried as a bogus
+    // match for left rows with no genuine prior right row; null keys would
+    // group together under partitionBy though === never matches them
+    val left = Seq(
+      (1L, java.lang.Long.valueOf(1L), ts("2024-01-05 00:00:00")),
+      (2L, java.lang.Long.valueOf(2L), ts("2024-01-05 00:00:00")), // no prior right row
+      (3L, java.lang.Long.valueOf(1L), null.asInstanceOf[Timestamp]), // null left ts
+      (4L, null.asInstanceOf[java.lang.Long], ts("2024-01-05 00:00:00"))) // null key
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (java.lang.Long.valueOf(1L), 100L, ts("2024-01-01 00:00:00")),
+      (java.lang.Long.valueOf(2L), 200L, null.asInstanceOf[Timestamp]), // null right ts
+      (null.asInstanceOf[java.lang.Long], 300L, ts("2024-01-01 00:00:00"))) // null key
+      .toDF("k", "order_id", "order_ts")
+    val viaJoin = TemporalJoins.asOfBackward(left, right, Seq("user_id"), Seq("k"),
+        col("ts"), col("order_ts"), leftId = Seq("event_id"))
+      .select("event_id", "order_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSort = TemporalJoins.asOfBackwardSorted(left, right, Seq("user_id"), Seq("k"),
+        col("ts"), col("order_ts"), valueCols = Seq("order_id"))
+      .select("event_id", "order_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == Map(1L -> 100L))
+    assert(viaSort == viaJoin)
+  }
+
   test("TopKPerGroup.top1 keeps exactly one row per group by the given order") {
     val df = Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (2L, 12L, 3.0))
       .toDF("grp", "id", "score")
