@@ -181,34 +181,56 @@ object Dedup {
     val exploded = sh.select(col("__id"), col("__b"), col("__size"),
       explode(col("__sh")).as("__shingle"))
 
+    // inverted-index self-join: pairs with ≥ 1 common shingle and their
+    // common-shingle count — the shared kernel of both branches
+    def indexPairs(index: DataFrame, interCol: String): DataFrame = {
+      val a = index.toDF("left_id", "__b", "left_size", "__shingle")
+      val b = index.toDF("right_id", "__b", "right_size", "__shingle")
+      a.join(b, Seq("__b", "__shingle"))
+        .filter(col("left_id") < col("right_id"))
+        .groupBy("left_id", "right_id", "left_size", "right_size")
+        .agg(count(lit(1)).as(interCol))
+    }
+    def finish(pairs: DataFrame): DataFrame = pairs
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("left_size") + col("right_size") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+
     maxShingleDocFreq match {
       case None =>
-        val a = exploded.toDF("left_id", "__b", "left_size", "__shingle")
-        val b = exploded.toDF("right_id", "__b", "right_size", "__shingle")
-        a.join(b, Seq("__b", "__shingle"))
-          .filter(col("left_id") < col("right_id"))
-          .groupBy("left_id", "right_id", "left_size", "right_size")
-          .agg(count(lit(1)).as("__inter"))
-          .withColumn("jaccard",
-            col("__inter").cast("double") /
-              (col("left_size") + col("right_size") - col("__inter")))
-          .filter(col("jaccard") >= threshold)
-          .select("left_id", "right_id", "jaccard")
+        finish(indexPairs(exploded, "__inter"))
 
       case Some(cap) =>
         // Split the index by block-local doc frequency. The d² join blow-up
         // comes entirely from high-df shingles, so only the RARE index
         // self-joins; the frequent side is folded back in linearly below.
-        // The tagged index is persisted because three consumers (rare index
-        // a/b sides, frequent arrays) would otherwise each re-run
-        // scan→shingle→explode→window; spills to disk at scale.
-        val withDf = exploded.withColumn("__df",
-          count(lit(1)).over(Window.partitionBy("__b", "__shingle")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        val rareExpl = withDf.filter(col("__df") <= cap).drop("__df")
+        // By the cap's own premise the frequent-shingle SET is tiny (it is
+        // boilerplate shared by > cap docs), so compute it with a map-side-
+        // combinable hash agg — only (block, shingle, partial-count) rows
+        // shuffle — and BROADCAST it to split the index. No sort, no window
+        // over the full exploded index, and nothing index-sized persists:
+        // the consumers re-explode from the persisted `sh` arrays.
+        val freqSet = exploded.groupBy("__b", "__shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap)
+          .select("__b", "__shingle")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Adaptive short-circuit: when NO shingle exceeds the cap the split
+        // is the identity and the exact-fingerprint recovery is redundant —
+        // the uncapped inverted-index plan produces the identical result with
+        // half the stages. The emptiness probe is one map-side-combinable
+        // hash-agg pass over the (persisted) index — negligible next to the
+        // self-join it sizes, and `freqSet` feeds the guarded plan anyway.
+        if (freqSet.isEmpty) return finish(indexPairs(exploded, "__inter"))
+        val rareExpl = exploded
+          .join(broadcast(freqSet), Seq("__b", "__shingle"), "left_anti")
+          .select("__id", "__b", "__size", "__shingle") // fixed order: fed to positional toDF below
         // per-doc array of its frequent shingles — small for any real corpus
         // (a shingle shared by > cap docs is boilerplate, and a doc holds few)
-        val freqArr = withDf.filter(col("__df") > cap)
+        val freqArr = exploded
+          .join(broadcast(freqSet), Seq("__b", "__shingle"), "left_semi")
           .groupBy("__id")
           .agg(collect_set(col("__shingle")).as("__fsh"))
 
@@ -226,12 +248,7 @@ object Dedup {
 
         // rare-index partial intersection counts (same shape as the uncapped
         // path, minus the skew bomb)
-        val a = rareExpl.toDF("left_id", "__b", "left_size", "__shingle")
-        val b = rareExpl.toDF("right_id", "__b", "right_size", "__shingle")
-        val rarePairs = a.join(b, Seq("__b", "__shingle"))
-          .filter(col("left_id") < col("right_id"))
-          .groupBy("left_id", "right_id", "left_size", "right_size")
-          .agg(count(lit(1)).as("__inter_rare"))
+        val rarePairs = indexPairs(rareExpl, "__inter_rare")
           .join(fpPairs, Seq("left_id", "right_id"), "left_anti")
         // frequent-shingle correction: linear join of the small per-doc
         // frequent arrays onto the candidates, intersected per pair
