@@ -188,15 +188,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
-    // §2.4 A10: outlier-trimmed stats. Trim bounds are rank-based
-    // (percent_rank), not interpolated percentiles — interpolation puts the
-    // boundary between data points differently across engines, flipping
-    // boundary rows; (rank-1)/(n-1) is bit-identical everywhere.
+    // §2.4 A10: outlier-trimmed stats. Per-group trim bounds come from the
+    // exact `percentile` aggregate (a map-side-combinable hash agg) and are
+    // broadcast-joined back onto the fact table — NOT from percent_rank over
+    // a 3-value window partition, which sorts the whole fact table in 3
+    // straggler tasks that AQE cannot split. Both engines interpolate with
+    // the R-7 rule (index p·(n−1)) in IEEE doubles, so the bounds — and the
+    // boundary rows they admit — are bit-identical (the `median` column has
+    // relied on exactly this equivalence since round 1).
     "a10_percentile_stats" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      T(s, dir, "lineitem")
-        .withColumn("pr", percent_rank().over(w))
-        .filter(col("pr").between(0.01, 0.99))
+      val li = T(s, dir, "lineitem")
+      val bounds = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.01)").as("__lo"),
+          expr("percentile(l_extendedprice, 0.99)").as("__hi"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .filter(col("l_extendedprice").between(col("__lo"), col("__hi")))
         .groupBy("l_returnflag")
         .agg(round(avg("l_extendedprice"), 2).as("trimmed_mean"),
           round(stddev("l_extendedprice"), 2).as("trimmed_stddev"),
@@ -341,9 +347,13 @@ object SparkEntry {
     // DuckDB brute-force all-pairs Jaccard: identical whenever LSH recall is
     // 1 at J ≥ 0.5 — verified pair-for-pair on the test corpus, where true
     // near-dup pairs sit far above the banding threshold (b=8, r=4 ⇒ s* ≈ 0.59).
+    // The bucket cap is ON — the pattern users should copy at scale. No
+    // bucket on this corpus exceeds it, so the output (and the brute-force
+    // oracle equality) is unchanged; what it buys at 100 TB is a bound on
+    // the bucket self-join when a templated corpus makes giant buckets.
     "dedup2_minhash_pairs" -> ((s, dir) => {
       MinHash.nearDuplicates(T(s, dir, "documents"), "doc_id", col("text"),
-          threshold = 0.5)
+          threshold = 0.5, maxBucketSize = Some(64))
         .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
@@ -355,9 +365,13 @@ object SparkEntry {
     // Near-dup clusters: connected components (min-reachable-id labels) over
     // the verified MinHash pairs; oracled via a DuckDB recursive CTE over the
     // equivalent brute-force pair set.
+    // Guards ON (bucket cap + star edges): star edges connect exactly the
+    // same groups as the clique, so the component labels — and the recursive-
+    // CTE oracle — are unchanged, while an identical-doc group of size d
+    // feeds CC d−1 edges instead of d(d−1)/2. This is the scale default.
     "dedup4_dup_clusters" -> ((s, dir) => {
       val pairs = MinHash.nearDuplicates(T(s, dir, "documents"), "doc_id",
-        col("text"), threshold = 0.5)
+        col("text"), threshold = 0.5, maxBucketSize = Some(64), exactStar = true)
       Dedup.connectedComponents(pairs, "left_id", "right_id")
         .select(col("node").as("doc_id"), col("component"))
     }),
@@ -690,17 +704,19 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "a10_percentile_stats" ->
-      """WITH r AS (
-        |  SELECT l_returnflag, l_extendedprice,
-        |    percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS pr
-        |  FROM lineitem)
-        |SELECT l_returnflag,
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.01) AS lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
         | round(avg(l_extendedprice), 2) AS trimmed_mean,
         | round(stddev(l_extendedprice), 2) AS trimmed_stddev,
         | count(*) AS n_trimmed,
         | round(quantile_cont(l_extendedprice, 0.5), 2) AS median
-        |FROM r WHERE pr BETWEEN 0.01 AND 0.99
-        |GROUP BY l_returnflag""".stripMargin,
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |WHERE l_extendedprice BETWEEN lo AND hi
+        |GROUP BY l.l_returnflag""".stripMargin,
 
     "j13_exists_big_spenders" ->
       """SELECT c_custkey, c_name FROM customer c

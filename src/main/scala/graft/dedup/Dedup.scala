@@ -59,10 +59,20 @@ object Dedup {
     // (xxhash64 collisions within one document's shingle set are ~1e-15.)
     val sh = docsNeeded.select(col(idCol).as("__id"),
       array_distinct(transform(TextFunctions.shingles(text, n), s => xxhash64(s)))
-        .as("__sh"))
+        .as("__hs"))
+    jaccardFromHashed(pairs, sh)
+  }
+
+  /** Exact Jaccard for candidate pairs from precomputed xxhash64'd distinct
+    * shingle arrays `(__id, __hs)` — the join kernel of [[ngramJaccard]],
+    * shared with pipelines (e.g. [[MinHash.nearDuplicates]]) that tokenize
+    * the corpus once and reuse the persisted arrays across phases. */
+  private[dedup] def jaccardFromHashed(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val leftId = pairs.columns(0)
+    val rightId = pairs.columns(1)
     pairs
-      .join(sh.withColumnRenamed("__id", leftId).withColumnRenamed("__sh", "__sh_l"), leftId)
-      .join(sh.withColumnRenamed("__id", rightId).withColumnRenamed("__sh", "__sh_r"), rightId)
+      .join(sh.select(col("__id").as(leftId), col("__hs").as("__sh_l")), leftId)
+      .join(sh.select(col("__id").as(rightId), col("__hs").as("__sh_r")), rightId)
       .withColumn("__inter", size(array_intersect(col("__sh_l"), col("__sh_r"))))
       .withColumn("__union", size(col("__sh_l")) + size(col("__sh_r")) - col("__inter"))
       .withColumn("jaccard",
@@ -81,11 +91,17 @@ object Dedup {
    * own id; each round every node takes the min of its label, its neighbors'
    * labels, AND its label's label (path compression — the "label of label"
    * jump halves chain lengths, so rounds needed = O(log diameter), not
-   * O(diameter)). Each round is two equi-joins + a hash-agg shuffled on node
-   * ids (uniform keys, map-side combinable); lineage is cut per round like
-   * [[graft.operators.TransitiveClosure]]. If the fixpoint is not reached
-   * within `maxIterations` (would need a component of diameter > 2^20 at the
-   * default) this THROWS rather than silently returning split components.
+   * O(diameter)). The neighbor-min join + hash-agg shuffle on node ids
+   * (uniform keys, map-side combinable); the label-of-label lookup is keyed
+   * on component values, which COLLAPSE onto few hot keys as components
+   * converge — AQE's skew join splits those hot partitions (the lookup side
+   * is one row per key, so replication is cheap). Lineage is
+   * cut per round like [[graft.operators.TransitiveClosure]]. If the
+   * fixpoint is not reached within `maxIterations` this THROWS rather than
+   * silently returning split components — the guaranteed reach after r
+   * rounds is a component diameter on the order of 2^(r−2) (the first round
+   * advances one hop and the last only detects the fixpoint), i.e. ~2^18 at
+   * the default 20.
    */
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           maxIterations: Int = 20): DataFrame = {
@@ -113,6 +129,13 @@ object Dedup {
         .groupBy(col("src").as("n")).agg(min("component").as("nbr_component"))
       // pointer doubling: the label my current label points at. Self-labeled
       // roots resolve to themselves, so coalesce only covers pruned labels.
+      // The probe side is keyed on component values, which collapse onto few
+      // hot keys as components converge — the giant-component key is handled
+      // by AQE's skew join (on in GraftSession), which splits the hot
+      // partition; the lookup side is one row per key, so replication is
+      // cheap. (A distinct-component pre-aggregation of the lookup was
+      // measured at +2 shuffles per round — a net loss at every scale AQE
+      // already covers.)
       val lbl2 = labels.select(col("node").as("__c"), col("component").as("__cc"))
       // old label rides along so convergence is read off the same
       // materialization — no second join per round
@@ -130,7 +153,8 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds — " +
-          "component diameter exceeds 2^maxIterations; raise maxIterations")
+          s"component diameter is on the order of 2^($maxIterations-2) or " +
+          "more; raise maxIterations")
     labels
   }
 

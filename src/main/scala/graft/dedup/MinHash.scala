@@ -38,13 +38,33 @@ object MinHash {
    * form allocated k interpreted intermediate arrays per row). Empty docs get
    * the all−1 sentinel signature so they only collide with each other.
    */
-  def signature(text: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column = {
+  def signature(text: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column =
+    signatureFromHashed(
+      array_distinct(transform(TextFunctions.shingles(text, n), s => xxhash64(s))),
+      k, seed)
+
+  /** [[signature]] from a precomputed array of xxhash64'd distinct shingles
+    * (the [[hashedBase]] column) — duplicates introduced by the mod cannot
+    * change a minimum, so this is bit-identical to [[signature]] on the same
+    * text while sharing the tokenize→shingle→hash work with the fingerprint
+    * and verification phases. */
+  def signatureFromHashed(hs: Column, k: Int = 32, seed: Long = 42L): Column = {
     val cs = coeffs(k, seed)
-    val base = transform(array_distinct(TextFunctions.shingles(text, n)),
-      s => pmod(xxhash64(s), lit(Prime)))
     ColumnBridge.column(graft.functions.MinHashSig(
-      ColumnBridge.expression(base), cs.map(_._1), cs.map(_._2), Prime))
+      ColumnBridge.expression(transform(hs, h => pmod(h, lit(Prime)))),
+      cs.map(_._1), cs.map(_._2), Prime))
   }
+
+  /** One-tokenize base table `(__id, __toks, __hs)`: whitespace tokens and
+    * xxhash64'd distinct word-`n`-gram shingles. Every phase of
+    * [[nearDuplicates]] (LSH signature, exact fingerprint, Jaccard verify)
+    * derives from this — persisted, the corpus is tokenized ONCE instead of
+    * once per phase, which at 100 TB is the difference between one and three
+    * full text scans. */
+  private def hashedBase(docs: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
+    docs.select(col(idCol).as("__id"), TextFunctions.tokens(text).as("__toks"))
+      .withColumn("__hs", array_distinct(transform(
+        TextFunctions.shinglesFromTokens(col("__toks"), n), s => xxhash64(s))))
 
   /** Explode a signature into (band_idx, band_hash) LSH bucket keys. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -68,27 +88,45 @@ object MinHash {
   def candidatePairs(docs: DataFrame, idCol: String, text: Column, n: Int = 3,
                      bands: Int = 8, rowsPerBand: Int = 4,
                      seed: Long = 42L,
-                     maxBucketSize: Option[Int] = None): DataFrame = {
+                     maxBucketSize: Option[Int] = None): DataFrame =
+    candidatePairsFromBase(hashedBase(docs, idCol, text, n), bands, rowsPerBand,
+      seed, maxBucketSize)
+
+  private def candidatePairsFromBase(base: DataFrame, bands: Int, rowsPerBand: Int,
+                                     seed: Long,
+                                     maxBucketSize: Option[Int]): DataFrame = {
     val k = bands * rowsPerBand
     // Drop empty-shingle docs (all−1 sentinel signature — min hash of a
     // nonempty set is in [0, p)): they all share one giant bucket whose d²
     // pairs are discarded downstream at any threshold > 0 anyway. Identical
     // sub-n-token docs are a fingerprint-group concern, not an LSH one.
-    val sigs = docs.select(col(idCol).as("__id"),
-      signature(text, n, k, seed).as("__sig"))
+    val sigs = base.select(col("__id"),
+      signatureFromHashed(col("__hs"), k, seed).as("__sig"))
       .filter(element_at(col("__sig"), 1) =!= -1L)
-    val buckets = sigs
+    val bucketsRaw = sigs
       .select(col("__id"), explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__b"))
       .select(col("__id"), col("__b.band_idx").as("band_idx"),
         col("__b.band_hash").as("band_hash"))
+    // under the cap the bucket table has multiple consumers (the over-cap
+    // count agg and the anti-join input) — persist it so the shingle +
+    // signature pipeline runs once, not once per consumer
+    val buckets = if (maxBucketSize.isDefined)
+      bucketsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else bucketsRaw
     val kept = maxBucketSize match {
       case None => buckets
       case Some(cap) =>
-        val small = buckets.groupBy("band_idx", "band_hash")
+        // the over-cap bucket-key set is tiny by the cap's premise (giant
+        // buckets are boilerplate collisions), so find it with a map-side-
+        // combinable hash agg and BROADCAST-anti-join it away — streaming
+        // the bucket table through, instead of shuffling it into a semi join
+        // against the huge under-cap majority
+        val big = buckets.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= cap)
+          .filter(col("__n") > cap)
           .select("band_idx", "band_hash")
-        buckets.join(small, Seq("band_idx", "band_hash"), "left_semi")
+        buckets.join(broadcast(big), Seq("band_idx", "band_hash"), "left_anti")
+          .select("__id", "band_idx", "band_hash")
     }
     val a = kept.withColumnRenamed("__id", "left_id")
     val b = kept.withColumnRenamed("__id", "right_id")
@@ -112,11 +150,12 @@ object MinHash {
     * consumers like [[Dedup.connectedComponents]] want (identical component
     * labels, linear output), and the only uncapped-quadratic path left once
     * LSH buckets are capped. */
-  private def exactPairs(docs: DataFrame, idCol: String, text: Column, n: Int,
-                         star: Boolean): DataFrame = {
-    val fps = docs
-      .filter(size(TextFunctions.tokens(text)) >= n)
-      .select(col(idCol).as("__id"), TextFunctions.fingerprint(text).as("__fp"))
+  private def exactPairs(base: DataFrame, n: Int, star: Boolean): DataFrame = {
+    // fingerprint from the shared token column — identical to
+    // TextFunctions.fingerprint(text), minus the re-tokenization
+    val fps = base
+      .filter(size(col("__toks")) >= n)
+      .select(col("__id"), xxhash64(concat_ws(" ", col("__toks"))).as("__fp"))
     if (star) {
       val reps = fps.groupBy("__fp")
         .agg(min(col("__id")).as("left_id"), count(lit(1)).as("__n"))
@@ -141,21 +180,30 @@ object MinHash {
     * edges (representative → member, Jaccard exactly 1 by construction) —
     * use it when feeding [[Dedup.connectedComponents]] or any consumer that
     * doesn't need the full clique, since an identical-document group of size
-    * d otherwise emits d(d−1)/2 output rows no cap can prevent. */
+    * d otherwise emits d(d−1)/2 output rows no cap can prevent.
+    *
+    * Contract at `threshold = 0.0` with a cap set: identical docs of fewer
+    * than `n` tokens (including empty/whitespace docs, whose pairwise
+    * Jaccard is defined as 0) are NOT recovered by the fingerprint path —
+    * recovery targets Jaccard-1 groups only. Use a positive threshold, or
+    * run [[Dedup.exact]] for sub-`n`-token identity. */
   def nearDuplicates(docs: DataFrame, idCol: String, text: Column,
                      threshold: Double, n: Int = 3, bands: Int = 8,
                      rowsPerBand: Int = 4, seed: Long = 42L,
                      maxBucketSize: Option[Int] = None,
                      exactStar: Boolean = false): DataFrame = {
-    // Candidate pairs are a tiny fraction of the corpus — persist them so the
-    // exact-Jaccard verify join doesn't re-run the full shingle+band plan.
-    val lsh = candidatePairs(docs, idCol, text, n, bands, rowsPerBand, seed,
-      maxBucketSize)
+    // One tokenize pass for the whole operator: the persisted base feeds the
+    // LSH signatures, the exact fingerprints AND the verify join. Candidate
+    // pairs are also persisted — a tiny fraction of the corpus — so the
+    // verify join doesn't re-run the banding plan.
+    val base = hashedBase(docs, idCol, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val lsh = candidatePairsFromBase(base, bands, rowsPerBand, seed, maxBucketSize)
     val cands = (maxBucketSize match {
       case None => lsh
-      case Some(_) => lsh.union(exactPairs(docs, idCol, text, n, exactStar)).distinct()
+      case Some(_) => lsh.union(exactPairs(base, n, exactStar)).distinct()
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.ngramJaccard(cands, docs, idCol, text, n)
+    Dedup.jaccardFromHashed(cands, base.select(col("__id"), col("__hs")))
       .filter(col("jaccard") >= threshold)
   }
 }

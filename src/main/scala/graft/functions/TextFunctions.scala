@@ -114,22 +114,32 @@ object TextFunctions {
       Exprs.let(scoreArr) { sc =>
         val s = (1 to LangMarkers.size).map(i => element_at(sc, i))
         val best = greatest(s: _*)
-        // first max wins: later whens only fire when acc is still "und"
-        LangMarkers.map(_._1).zip(s).foldLeft(lit("und")) { case (acc, (l, si)) =>
-          when(si === best && best > 0 && acc === "und", lit(l)).otherwise(acc)
-        }
+        // first max wins: a when-chain in language order, so the earliest
+        // language whose score equals the max takes the branch (foldRight —
+        // no accumulator self-comparison, which Spark warns is trivially true)
+        val firstMax = LangMarkers.map(_._1).zip(s)
+          .foldRight(lit("und")) { case ((l, si), rest) =>
+            when(si === best, lit(l)).otherwise(rest)
+          }
+        when(best > 0, firstMax).otherwise(lit("und"))
       }
     }
+
+  /** Word n-gram shingles from a precomputed token array — for pipelines
+    * that tokenize once (persist the token column) and derive shingles,
+    * fingerprints and signatures from it without re-running the tokenizer.
+    * `ts` must be a cheap reference (a bound column or [[Exprs.let]] binding):
+    * it is referenced several times here. */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
 
   /** Word n-gram shingles (space-joined); empty array when fewer than n tokens.
     * The token array is let-bound OUTSIDE the per-shingle lambda — inlining it
     * there re-tokenizes the whole document once per shingle (O(len²)). */
   def shingles(text: Column, n: Int): Column =
-    Exprs.let(tokens(text)) { ts =>
-      when(size(ts) < n, array().cast("array<string>")).otherwise(
-        transform(sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-    }
+    Exprs.let(tokens(text))(ts => shinglesFromTokens(ts, n))
 
   /** Character n-gram shingles of the normalized text (same let-binding rationale). */
   def charShingles(text: Column, n: Int): Column =

@@ -151,11 +151,17 @@ object Knn {
     val assign = v.crossJoin(broadcast(centroids))
       .withColumn("__d", VectorFunctions.sqDist(col("__v"), col("__cv")))
     val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)
-    val cells = assign.withColumn("__r", row_number().over(wAssign))
-    val members = cells.filter(col("__r") === 1)
+    // one evaluation feeds both consumers: the top-nProbe assignment (a
+    // superset of the r==1 membership) is persisted, so the Lloyd loop and
+    // the n×nCells assignment scoring run once, not once per consumer
+    val pruned = assign.withColumn("__r", row_number().over(wAssign))
+      .filter(col("__r") <= math.max(nProbe, 1))
+      .select(col("cell_id"), col("__id"), col("__v"), col("__r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val members = pruned.filter(col("__r") === 1)
       .select(col("cell_id"), col("__id").as("neighbor_id"), col("__v").as("__nv"),
         VectorFunctions.l2Norm(col("__v")).as("__nn"))
-    val probes = cells.filter(col("__r") <= nProbe)
+    val probes = pruned.filter(col("__r") <= nProbe)
       .select(col("cell_id"), col("__id").as("query_id"), col("__v").as("__qv"),
         VectorFunctions.l2Norm(col("__v")).as("__qn"))
     val scored = probes.join(members, Seq("cell_id"))

@@ -35,6 +35,13 @@ object PlanAudit {
       // over the joined fact table
       Check("j1_revenue_by_nation", Seq(
         "no Expand from mixed distinct aggregate" -> "!Expand")),
+      // trimmed stats must come from percentile hash-aggs + a broadcast-joined
+      // bounds table — a WindowExec here means a sort over a 3-value partition
+      // key that AQE cannot split (three straggler tasks at 100 TB)
+      Check("a10_percentile_stats", Seq(
+        "no window over low-cardinality key" -> "!Window",
+        "bounds broadcast back onto fact" -> "BroadcastHashJoin",
+        "partial (map-side) percentile" -> "partial_percentile")),
       // custom codegen'd kernels must appear as plain expressions (vec_dot),
       // not CodegenFallback-wrapped higher-order functions
       Check("knn1_cosine_top3", Seq(
