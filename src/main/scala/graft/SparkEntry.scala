@@ -474,6 +474,70 @@ object SparkEntry {
         .agg(min("k1").as("master_orderkey"))
     }),
 
+    // §2.3 J11: the NestedCohortBuilder exclusion SQL shapes — the PRODUCTION
+    // SQL text (NestedCohortBuilder.firstTimeOutcomeSql /
+    // removeIndexPredictionStartsSql, reference spark_app_base.py:428-471)
+    // over orders-as-cohorts: target = every order, entry cohort = the
+    // customer's URGENT orders (first-time exclusion, ps=0: drop orders
+    // strictly after an urgent one), exclusion cohort = 5-LOW orders within
+    // [index, index+29]. Independent predicates so each anti-join shape bites.
+    "j11_exclusion" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      orders.select(col("o_custkey").as("person_id"), col("o_orderdate").as("index_date"))
+        .createOrReplaceTempView("j11_target")
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("person_id"), col("o_orderdate").as("index_date"))
+        .createOrReplaceTempView("j11_entry")
+      orders.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey").as("person_id"), col("o_orderdate").as("index_date"))
+        .createOrReplaceTempView("j11_low")
+      s.sql(graft.omop.cohort.NestedCohortBuilder
+          .firstTimeOutcomeSql("j11_target", "j11_entry", predictionStartDays = 0))
+        .createOrReplaceTempView("j11_after_first")
+      s.sql(graft.omop.cohort.NestedCohortBuilder
+          .removeIndexPredictionStartsSql("j11_after_first", "j11_low", predictionStartDays = 30))
+        .select("cohort_member_id", "person_id", "index_date")
+    }),
+
+    // §2.3 J12: the NestedCohortBuilder bounded labeling SQL — production
+    // text (boundedLabelingSql, spark_app_base.py:486-513): target = first
+    // order per customer, outcome = urgent orders, observation period ends
+    // 90 days after the last order; label 1 iff an urgent order falls in
+    // [index+30, index+360], rows kept only if the observation period covers
+    // the window or an outcome exists. Exercises the ISNOTNULL cast, the
+    // BETWEEN window and the op-coverage OR-filter.
+    "j12_outcome_label" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      orders.groupBy(col("o_custkey").as("person_id"))
+        .agg(min(col("o_orderdate")).as("index_date"))
+        .createOrReplaceTempView("j12_target")
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("person_id"), col("o_orderdate").as("index_date"))
+        .createOrReplaceTempView("j12_outcome")
+      orders.groupBy(col("o_custkey").as("person_id"))
+        .agg((max(col("o_orderdate")) + expr("INTERVAL 90 DAY")).as("observation_period_end_date"))
+        .createOrReplaceTempView("j12_op")
+      s.sql(graft.omop.cohort.NestedCohortBuilder.boundedLabelingSql(
+          "j12_target", "j12_outcome", "j12_op",
+          predictionStartDays = 30, predictionWindow = 360))
+        .select(col("person_id"), col("index_date"), col("outcome_date"), col("label"))
+    }),
+
+    // §2.3 J12 (unbounded variant): unboundedLabelingSql — label 1 iff ANY
+    // outcome at or after index+30, every qualifying outcome date kept.
+    "j12b_label_unbounded" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      orders.groupBy(col("o_custkey").as("person_id"))
+        .agg(min(col("o_orderdate")).as("index_date"))
+        .createOrReplaceTempView("j12b_target")
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("person_id"), col("o_orderdate").as("index_date"))
+        .createOrReplaceTempView("j12b_outcome")
+      s.sql(graft.omop.cohort.NestedCohortBuilder.unboundedLabelingSql(
+          "j12b_target", "j12b_outcome", predictionStartDays = 30))
+        .select(col("person_id"), col("index_date"), col("outcome_date"), col("label"))
+    }),
+
     // §2.8 P10: unit-string cleanup regexes ({...} strip, leading / → 1/).
     "p10_unit_cleanup" -> ((s, dir) => {
       T(s, dir, "part")
@@ -983,6 +1047,71 @@ object SparkEntry {
         |      BETWEEN CAST(a.o_orderdate AS DATE)
         |          AND CAST(a.o_orderdate AS DATE) + INTERVAL 7 DAY
         |GROUP BY a.o_custkey, b.o_orderkey""".stripMargin,
+
+    // Mirrors the production exclusion SQL text (same joins, same WHERE) with
+    // ISNOTNULL spelled IS NOT NULL — DuckDB has no ISNOTNULL function.
+    "j11_exclusion" ->
+      """WITH target AS (
+        |  SELECT o_custkey AS person_id, o_orderdate AS index_date FROM orders),
+        |entry AS (
+        |  SELECT o_custkey AS person_id, o_orderdate AS index_date FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |low AS (
+        |  SELECT o_custkey AS person_id, o_orderdate AS index_date FROM orders
+        |  WHERE o_orderpriority = '5-LOW'),
+        |t1 AS (
+        |  SELECT t.person_id AS cohort_member_id, t.*
+        |  FROM target AS t
+        |  LEFT JOIN entry AS o
+        |    ON t.person_id = o.person_id
+        |    AND t.index_date + INTERVAL 0 DAY > o.index_date
+        |  WHERE o.person_id IS NULL),
+        |t2 AS (
+        |  SELECT DISTINCT t.*
+        |  FROM t1 AS t
+        |  LEFT JOIN low AS exclusion
+        |    ON t.person_id = exclusion.person_id
+        |    AND exclusion.index_date BETWEEN t.index_date
+        |        AND t.index_date + INTERVAL 29 DAY
+        |  WHERE exclusion.person_id IS NULL)
+        |SELECT cohort_member_id, person_id, index_date FROM t2""".stripMargin,
+
+    "j12_outcome_label" ->
+      """WITH target AS (
+        |  SELECT o_custkey AS person_id, min(o_orderdate) AS index_date
+        |  FROM orders GROUP BY 1),
+        |outcome AS (
+        |  SELECT o_custkey AS person_id, o_orderdate AS index_date FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |op AS (
+        |  SELECT o_custkey AS person_id,
+        |    max(o_orderdate) + INTERVAL 90 DAY AS observation_period_end_date
+        |  FROM orders GROUP BY 1)
+        |SELECT DISTINCT t.person_id, t.index_date, o.index_date AS outcome_date,
+        |  CAST(o.person_id IS NOT NULL AS INT) AS label
+        |FROM target AS t
+        |LEFT JOIN op
+        |  ON t.person_id = op.person_id
+        |  AND t.index_date + INTERVAL 360 DAY <= op.observation_period_end_date
+        |LEFT JOIN outcome AS o
+        |  ON t.person_id = o.person_id
+        |  AND o.index_date BETWEEN t.index_date + INTERVAL 30 DAY
+        |      AND t.index_date + INTERVAL 360 DAY
+        |WHERE op.person_id IS NOT NULL OR o.person_id IS NOT NULL""".stripMargin,
+
+    "j12b_label_unbounded" ->
+      """WITH target AS (
+        |  SELECT o_custkey AS person_id, min(o_orderdate) AS index_date
+        |  FROM orders GROUP BY 1),
+        |outcome AS (
+        |  SELECT o_custkey AS person_id, o_orderdate AS index_date FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT DISTINCT t.person_id, t.index_date, o.index_date AS outcome_date,
+        |  CAST(o.person_id IS NOT NULL AS INT) AS label
+        |FROM target AS t
+        |LEFT JOIN outcome AS o
+        |  ON t.person_id = o.person_id
+        |  AND o.index_date >= t.index_date + INTERVAL 30 DAY""".stripMargin,
 
     "p10_unit_cleanup" ->
       """SELECT regexp_replace(regexp_replace('{annot}/' || p_type, '\{.*?\}', ''), '^/', '1/') AS unit,

@@ -43,63 +43,30 @@ final class NestedCohortBuilder(cfg: NestedCohortBuilder.Config) {
     outcomeCohort.createOrReplaceGlobalTempView("outcome_cohort")
 
     if (cfg.isFirstTimeOutcome) {
-      spark.sql(
-        s"""SELECT t.person_id AS cohort_member_id, t.*
-           |FROM global_temp.target_cohort AS t
-           |LEFT JOIN global_temp.${QueryBuilder.EntryCohort} AS o
-           |  ON t.person_id = o.person_id
-           |  AND t.index_date + INTERVAL ${cfg.predictionStartDays} DAY > o.index_date
-           |WHERE o.person_id IS NULL
-           |""".stripMargin)
+      spark.sql(firstTimeOutcomeSql("global_temp.target_cohort",
+          s"global_temp.${QueryBuilder.EntryCohort}", cfg.predictionStartDays))
         .createOrReplaceGlobalTempView("target_cohort")
     }
 
     if (cfg.isQuestionableOutcomeExisted) {
-      spark.sql(
-        s"""SELECT t.*
-           |FROM global_temp.target_cohort AS t
-           |LEFT JOIN global_temp.${QueryBuilder.NegativeCohort} AS o
-           |  ON t.person_id = o.person_id
-           |WHERE o.person_id IS NULL
-           |""".stripMargin)
+      spark.sql(questionableOutcomeSql("global_temp.target_cohort",
+          s"global_temp.${QueryBuilder.NegativeCohort}"))
         .createOrReplaceGlobalTempView("target_cohort")
     }
 
     if (cfg.isRemoveIndexPredictionStarts) {
-      spark.sql(
-        s"""SELECT DISTINCT t.*
-           |FROM global_temp.target_cohort AS t
-           |LEFT JOIN global_temp.outcome_cohort AS exclusion
-           |  ON t.person_id = exclusion.person_id
-           |  AND exclusion.index_date BETWEEN t.index_date
-           |      AND t.index_date + INTERVAL ${math.max(cfg.predictionStartDays - 1, 0)} DAY
-           |WHERE exclusion.person_id IS NULL
-           |""".stripMargin)
+      spark.sql(removeIndexPredictionStartsSql("global_temp.target_cohort",
+          "global_temp.outcome_cohort", cfg.predictionStartDays))
         .createOrReplaceGlobalTempView("target_cohort")
     }
 
     val labelingSql =
       if (cfg.isPredictionWindowUnbounded)
-        s"""SELECT DISTINCT t.*, o.index_date AS outcome_date,
-           |  CAST(ISNOTNULL(o.person_id) AS INT) AS label
-           |FROM global_temp.target_cohort AS t
-           |LEFT JOIN global_temp.outcome_cohort AS o
-           |  ON t.person_id = o.person_id
-           |  AND o.index_date >= t.index_date + INTERVAL ${cfg.predictionStartDays} DAY
-           |""".stripMargin
+        unboundedLabelingSql("global_temp.target_cohort",
+          "global_temp.outcome_cohort", cfg.predictionStartDays)
       else
-        s"""SELECT DISTINCT t.*, o.index_date AS outcome_date,
-           |  CAST(ISNOTNULL(o.person_id) AS INT) AS label
-           |FROM global_temp.target_cohort AS t
-           |LEFT JOIN global_temp.observation_period AS op
-           |  ON t.person_id = op.person_id
-           |  AND t.index_date + INTERVAL ${cfg.predictionWindow} DAY <= op.observation_period_end_date
-           |LEFT JOIN global_temp.outcome_cohort AS o
-           |  ON t.person_id = o.person_id
-           |  AND o.index_date BETWEEN t.index_date + INTERVAL ${cfg.predictionStartDays} DAY
-           |      AND t.index_date + INTERVAL ${cfg.predictionWindow} DAY
-           |WHERE op.person_id IS NOT NULL OR o.person_id IS NOT NULL
-           |""".stripMargin
+        boundedLabelingSql("global_temp.target_cohort", "global_temp.outcome_cohort",
+          "global_temp.observation_period", cfg.predictionStartDays, cfg.predictionWindow)
 
     // dense_rank over the member triple in the reference — same id values
     // (one per distinct triple, in sort order) from the parallel dense-key
@@ -303,6 +270,83 @@ final class NestedCohortBuilder(cfg: NestedCohortBuilder.Config) {
 }
 
 object NestedCohortBuilder {
+
+  /**
+   * The exclusion / labeling SQL shapes (reference spark_app_base.py:428-513),
+   * parameterized by view name only — [[NestedCohortBuilder.build]] passes the
+   * `global_temp.*` views, and the driver contract (`SparkEntry` `j11`/`j12`)
+   * runs the SAME SQL text over plain temp views against a DuckDB oracle.
+   * One SQL string, two harnesses: the oracle therefore exercises the
+   * production labeling semantics, not a reimplementation.
+   */
+
+  /** First-time-outcome exclusion: drop target rows whose person already has
+    * an entry-cohort event before index_date + predictionStartDays
+    * (spark_app_base.py:428-443). */
+  def firstTimeOutcomeSql(target: String, entry: String, predictionStartDays: Int): String =
+    s"""SELECT t.person_id AS cohort_member_id, t.*
+       |FROM $target AS t
+       |LEFT JOIN $entry AS o
+       |  ON t.person_id = o.person_id
+       |  AND t.index_date + INTERVAL $predictionStartDays DAY > o.index_date
+       |WHERE o.person_id IS NULL
+       |""".stripMargin
+
+  /** Questionable-outcome exclusion: drop target rows whose person appears in
+    * the negative (questionable) cohort at any time (spark_app_base.py:445-455). */
+  def questionableOutcomeSql(target: String, negative: String): String =
+    s"""SELECT t.*
+       |FROM $target AS t
+       |LEFT JOIN $negative AS o
+       |  ON t.person_id = o.person_id
+       |WHERE o.person_id IS NULL
+       |""".stripMargin
+
+  /** Index-window exclusion: drop target rows with an outcome event inside
+    * [index_date, index_date + predictionStartDays − 1]
+    * (spark_app_base.py:457-471). */
+  def removeIndexPredictionStartsSql(target: String, exclusion: String,
+                                     predictionStartDays: Int): String =
+    s"""SELECT DISTINCT t.*
+       |FROM $target AS t
+       |LEFT JOIN $exclusion AS exclusion
+       |  ON t.person_id = exclusion.person_id
+       |  AND exclusion.index_date BETWEEN t.index_date
+       |      AND t.index_date + INTERVAL ${math.max(predictionStartDays - 1, 0)} DAY
+       |WHERE exclusion.person_id IS NULL
+       |""".stripMargin
+
+  /** Unbounded-window labeling: label 1 iff any outcome at or after
+    * index_date + predictionStartDays (spark_app_base.py:473-484). */
+  def unboundedLabelingSql(target: String, outcome: String,
+                           predictionStartDays: Int): String =
+    s"""SELECT DISTINCT t.*, o.index_date AS outcome_date,
+       |  CAST(ISNOTNULL(o.person_id) AS INT) AS label
+       |FROM $target AS t
+       |LEFT JOIN $outcome AS o
+       |  ON t.person_id = o.person_id
+       |  AND o.index_date >= t.index_date + INTERVAL $predictionStartDays DAY
+       |""".stripMargin
+
+  /** Bounded-window labeling: label 1 iff an outcome falls in
+    * [index + predictionStartDays, index + predictionWindow]; rows kept only
+    * when the observation period covers the window OR an outcome exists
+    * (spark_app_base.py:486-513). */
+  def boundedLabelingSql(target: String, outcome: String, observationPeriod: String,
+                         predictionStartDays: Int, predictionWindow: Int): String =
+    s"""SELECT DISTINCT t.*, o.index_date AS outcome_date,
+       |  CAST(ISNOTNULL(o.person_id) AS INT) AS label
+       |FROM $target AS t
+       |LEFT JOIN $observationPeriod AS op
+       |  ON t.person_id = op.person_id
+       |  AND t.index_date + INTERVAL $predictionWindow DAY <= op.observation_period_end_date
+       |LEFT JOIN $outcome AS o
+       |  ON t.person_id = o.person_id
+       |  AND o.index_date BETWEEN t.index_date + INTERVAL $predictionStartDays DAY
+       |      AND t.index_date + INTERVAL $predictionWindow DAY
+       |WHERE op.person_id IS NOT NULL OR o.person_id IS NOT NULL
+       |""".stripMargin
+
   final case class Config(
       cohortName: String,
       inputFolder: String,
