@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Frozen-snapshot oracles for the driver queries that are deterministic but
+ * not expressible in DuckDB SQL (seeded LSH / SimHash / IVF): the driver can
+ * only rows-check them, so a silent change in `SimHashAgg`, the hyperplane
+ * seeding or the IVF assignment would otherwise pass every gate. Each query
+ * is canonicalized exactly like the driver's comparison (columns sorted by
+ * name, rows as a sorted multiset, doubles rounded to 9 places) and its
+ * content hash asserted against a value frozen at sf0.01.
+ *
+ * On an intentional semantic change: re-run, read the new hash from the
+ * failure message, and update the constant IN THE SAME commit as the change.
+ *
+ * (`s10_random_split` stays rows-only by design — it samples with Spark's
+ * partition-dependent RNG, which this canonicalization cannot stabilize.)
+ */
+class SnapshotOracleSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def canonicalHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.toSeq
+    val canon = cols.map { c =>
+      val base = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => round(col(c), 9)
+        case _ => col(c)
+      }
+      coalesce(base.cast("string"), lit("<null>"))
+    }
+    df.select(concat_ws("|", canon: _*).as("__row"))
+      .agg(md5(concat_ws("\n", sort_array(collect_list(col("__row"))))).as("__h"))
+      .collect()(0).getString(0)
+  }
+
+  private def check(query: String, expected: String): Unit = test(
+    s"$query matches its frozen sf0.01 snapshot") {
+    assume(Files.exists(Paths.get(sfDir)), s"$sfDir not present")
+    val actual = canonicalHash(SparkEntry.queries(query)(spark, sfDir))
+    assert(actual === expected,
+      s"— snapshot drift in $query: frozen=$expected actual=$actual. If the " +
+        "change is intentional, update the constant in SnapshotOracleSpec.")
+  }
+
+  check("dedup3_simhash", "595b68781e2394fdaa44560d0ffd6578")
+  check("knn2_lsh_top3", "f8c3a88cd2fdcf95f98e9ffa55db44e1")
+  check("knn3_ivf_top3", "a6dffe5b86babce3e95c2bd004ff98b0")
+}
