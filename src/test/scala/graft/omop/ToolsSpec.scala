@@ -93,6 +93,74 @@ class ToolsSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$out/aux").count() == 1) // passthrough intact
   }
 
+  test("ExtractFeatures.readCohort reads CSV with header + inferSchema (S8)") {
+    import graft.omop.tools.ExtractFeatures
+    val dir = tmp()
+    val csv = new java.io.File(s"$dir/cohort.csv")
+    val w = new java.io.PrintWriter(csv)
+    // custom column names exercise the rename path; inferSchema must type
+    // subject as a number and when as a timestamp-able string
+    w.println("subject,when,outcome")
+    w.println("7,2021-03-04 05:06:07,1")
+    w.println("3,2020-01-02 03:04:05,0")
+    w.close()
+    val cfg = ExtractFeatures.Config(
+      cohortDir = csv.toString, cohortName = "c", inputFolder = "", outputFolder = "",
+      ehrTableList = Seq.empty, personIdColumn = "subject",
+      indexDateColumn = "when", labelColumn = "outcome")
+    val got = ExtractFeatures.readCohort(spark, cfg)
+    assert(got.columns.toSeq ==
+      Seq("person_id", "index_date", "label", "cohort_member_id"))
+    assert(got.schema("index_date").dataType.typeName == "timestamp")
+    assert(got.schema("label").dataType.typeName == "integer")
+    val rows = got.collect().map(r =>
+      (r.getAs[Number]("person_id").longValue(), r.getAs[Int]("label"),
+        r.getAs[Int]("cohort_member_id"))).toSet
+    // cohort_member_id is the (person_id, index_date)-ordered row_number
+    assert(rows == Set((3L, 0, 1), (7L, 1, 2)))
+  }
+
+  test("ExtractFeatures.readCohort scans parquet recursively across nested dirs (S4/S9)") {
+    import spark.implicits._
+    import graft.omop.tools.ExtractFeatures
+    val dir = tmp()
+    // two leaf files in DIFFERENT nested subdirectories — a plain
+    // non-recursive read of the root would miss both
+    Seq((1L, ts("2020-05-06 00:00:00"), 1))
+      .toDF("person_id", "index_date", "label")
+      .write.parquet(s"$dir/part_a/chunk_0")
+    Seq((2L, ts("2021-07-08 00:00:00"), 0))
+      .toDF("person_id", "index_date", "label")
+      .write.parquet(s"$dir/part_b/nested/chunk_1")
+    val cfg = ExtractFeatures.Config(
+      cohortDir = dir, cohortName = "c", inputFolder = "", outputFolder = "",
+      ehrTableList = Seq.empty)
+    val got = ExtractFeatures.readCohort(spark, cfg)
+      .select("person_id", "label", "cohort_member_id")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == Set((1L, 1, 1), (2L, 0, 2)))
+  }
+
+  test("ConvertPredictionTimeToLocal shifts prediction_time from UTC distributedly (S13)") {
+    import spark.implicits._
+    import graft.omop.tools.ConvertPredictionTimeToLocal
+    // session timezone is pinned UTC, so the shifted wall-clock is stable:
+    // 12:00 UTC -> 07:00 America/New_York (EST, -5) / 08:00 EDT (-4)
+    val df = Seq(
+      (1L, ts("2023-01-15 12:00:00")), // winter: EST, UTC-5
+      (2L, ts("2023-07-15 12:00:00"))) // summer: EDT, UTC-4
+      .toDF("subject_id", "prediction_time")
+    val got = ConvertPredictionTimeToLocal(df, "America/New_York")
+      .as[(Long, Timestamp)].collect().toMap
+    assert(got(1L) == ts("2023-01-15 07:00:00"))
+    assert(got(2L) == ts("2023-07-15 08:00:00"))
+    // non-default column name path
+    val other = ConvertPredictionTimeToLocal(
+      df.withColumnRenamed("prediction_time", "t"), "Asia/Tokyo", "t")
+      .as[(Long, Timestamp)].collect().toMap
+    assert(other(1L) == ts("2023-01-15 21:00:00")) // UTC+9, no DST
+  }
+
   test("validateTableNames rejects a typo'd CDM table name fast") {
     assertThrows[IllegalArgumentException] {
       Apps.validateTableNames(Seq("condition_occurrence", "conditon_occurence"))
