@@ -196,18 +196,30 @@ object SparkEntry {
     // the R-7 rule (index p·(n−1)) in IEEE doubles, so the bounds — and the
     // boundary rows they admit — are bit-identical (the `median` column has
     // relied on exactly this equivalence since round 1).
+    // One compaction pass — (flag, price, count), map-side combinable — then
+    // every percentile runs FREQUENCY-WEIGHTED over the compacted table
+    // (Spark's percentile builds exactly this counts-map internally, so the
+    // values are bit-identical) and the trimmed moments are recovered from
+    // the weighted sums. One scan of the fact table instead of two, and the
+    // trim filter touches distinct-value rows, not raw rows.
     "a10_percentile_stats" -> ((s, dir) => {
-      val li = T(s, dir, "lineitem")
-      val bounds = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.01)").as("__lo"),
-          expr("percentile(l_extendedprice, 0.99)").as("__hi"))
-      li.join(broadcast(bounds), Seq("l_returnflag"))
+      val g = T(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("__cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bounds = g.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.01, __cnt)").as("__lo"),
+          expr("percentile(l_extendedprice, 0.99, __cnt)").as("__hi"))
+      val n = sum(col("__cnt"))
+      val s1 = sum(col("l_extendedprice") * col("__cnt"))
+      val s2 = sum(col("l_extendedprice") * col("l_extendedprice") * col("__cnt"))
+      g.join(broadcast(bounds), Seq("l_returnflag"))
         .filter(col("l_extendedprice").between(col("__lo"), col("__hi")))
         .groupBy("l_returnflag")
-        .agg(round(avg("l_extendedprice"), 2).as("trimmed_mean"),
-          round(stddev("l_extendedprice"), 2).as("trimmed_stddev"),
-          count(lit(1)).as("n_trimmed"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median"))
+        .agg(round(s1 / n, 2).as("trimmed_mean"),
+          round(when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - 1))), 2).as("trimmed_stddev"),
+          n.as("n_trimmed"),
+          round(expr("percentile(l_extendedprice, 0.5, __cnt)"), 2).as("median"))
     }),
 
     // §2.3 J13: EXISTS semi join.
