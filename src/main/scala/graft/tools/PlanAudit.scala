@@ -9,13 +9,12 @@ import graft.core.GraftSession
  * tables, window-group-limit pushdown for top-k, and whole-stage codegen.
  */
 object PlanAudit {
-  def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(8, "plan-audit")
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
 
-    final case class Check(query: String, expect: Seq[(String, String)])
-    val checks = Seq(
+  final case class Check(query: String, expect: Seq[(String, String)])
+
+  /** Regex expectations over `explain("formatted")` output; a leading `!`
+    * asserts ABSENCE. Run by the CLI below and enforced by `PlanAuditSpec`. */
+  val checks: Seq[Check] = Seq(
       Check("p5_filtered_revenue", Seq(
         "parquet filter pushdown" -> "PushedFilters: \\[.*GreaterThan",
         "column pruning (3 cols)" -> "ReadSchema: [^\n]*l_shipdate")),
@@ -42,6 +41,12 @@ object PlanAudit {
         "no window over low-cardinality key" -> "!Window",
         "bounds broadcast back onto fact" -> "BroadcastHashJoin",
         "partial (map-side) percentile" -> "partial_percentile")),
+      // the bucket-cap guard must split the index with BROADCAST anti-joins
+      // (the over-cap set is tiny); a shuffled semi/anti join here means the
+      // whole bucket table shuffles against its own under-cap majority
+      Check("dedup2_minhash_pairs", Seq(
+        "bucket cap split is a broadcast anti-join" -> "BroadcastHashJoin LeftAnti",
+        "no sort-merge join anywhere in the guard path" -> "!SortMergeJoin")),
       // custom codegen'd kernels must appear as plain expressions (vec_dot),
       // not CodegenFallback-wrapped higher-order functions
       Check("knn1_cosine_top3", Seq(
@@ -51,17 +56,25 @@ object PlanAudit {
         "payload-free scan (no text col read is impossible here since meta\n" +
           "derives from text; real media tables scan meta only)" -> "ReadSchema")))
 
+  def plan(spark: org.apache.spark.sql.SparkSession, dir: String, query: String): String =
+    graft.SparkEntry.queries(query)(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  def holds(plan: String, regex: String): Boolean =
+    if (regex.startsWith("!")) regex.drop(1).r.findFirstIn(plan).isEmpty
+    else regex.r.findFirstIn(plan).isDefined
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8, "plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
     checks.foreach { c =>
-      val plan = graft.SparkEntry.queries(c.query)(spark, dir)
-        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val p = plan(spark, dir, c.query)
       println(s"\n=== ${c.query} ===")
       c.expect.foreach { case (what, regex) =>
-        val ok =
-          if (regex.startsWith("!")) regex.drop(1).r.findFirstIn(plan).isEmpty
-          else regex.r.findFirstIn(plan).isDefined
-        println(f"  [${if (ok) "OK " else "MISS"}] $what")
+        println(f"  [${if (holds(p, regex)) "OK " else "MISS"}] $what")
       }
-      if (args.contains("--full")) println(plan)
+      if (args.contains("--full")) println(p)
     }
     spark.stop()
   }
