@@ -31,7 +31,12 @@ object IdAllocator {
   def sequentialId(df: DataFrame, order: Seq[Column], idCol: String,
                    startAt: Long = 1L): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    // withColumn-replacement semantics: a pre-existing id column is replaced,
+    // not duplicated (the reference's withColumn(idCol, row_number...) does
+    // this implicitly — e.g. the first-time-outcome SQL seeds a provisional
+    // cohort_member_id that the allocator must overwrite)
+    val base = if (df.columns.contains(idCol)) df.drop(idCol) else df
+    val sorted = base.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val indexed: RDD[Row] = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + startAt))
     }
@@ -58,11 +63,13 @@ object IdAllocator {
    */
   def denseKeyId(df: DataFrame, keys: Seq[String], idCol: String,
                  startAt: Long = 1L): DataFrame = {
-    val distinctKeys = df.select(keys.map(col): _*).distinct()
+    // withColumn-replacement semantics, as in sequentialId above
+    val base = if (df.columns.contains(idCol)) df.drop(idCol) else df
+    val distinctKeys = base.select(keys.map(col): _*).distinct()
     val keyed = sequentialId(distinctKeys, keys.map(col), idCol, startAt)
     val renamed = keys.foldLeft(keyed)((d, k) => d.withColumnRenamed(k, s"__k_$k"))
     val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-    df.join(renamed, cond, "inner").drop(keys.map(k => s"__k_$k"): _*)
+    base.join(renamed, cond, "inner").drop(keys.map(k => s"__k_$k"): _*)
   }
 
   /** Mint ids starting after the current maximum of `existingIds` — the

@@ -1,0 +1,93 @@
+package graft.omop
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.omop.cohort.{NestedCohortBuilder, QueryBuilder}
+
+/**
+ * End-to-end assembly of NestedCohortBuilder.build over the bundled sample
+ * CDM: exclusion rewrites → bounded labeling → cohort_member_id allocation →
+ * positives-first safeguard → EHR-record filter → study_end_date /
+ * time_to_event → split-aware sink. The SQL shapes themselves are
+ * DuckDB-oracled by the driver (j11/j12); this spec pins the surrounding
+ * orchestration the oracle can't see (spark_app_base.py:276-607).
+ */
+class NestedCohortBuilderSpec extends SparkSpecBase {
+
+  private val omopInput = "/root/reference/sample_data/omop_sample"
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("build: exclusions, labels, member ids, time_to_event and splits end-to-end") {
+    assume(Files.exists(Paths.get(omopInput)), s"$omopInput not present")
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-nested").toString
+
+    // targets: persons 1-5 at 2015-01-01; outcomes (= entry cohort):
+    //   p2, p4 → 2015-06-01  (inside [index+30, index+360]  → label 1)
+    //   p3     → 2015-01-15  (inside [index, index+29]      → index-window exclusion)
+    //   p5     → 2014-12-01  (before index+30               → first-time-outcome exclusion)
+    // p1 has no outcome; its observation period covers index+360 → label 0.
+    val target = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(p => (p, ts("2015-01-01 00:00:00"), 1000L + p))
+      .toDF("person_id", "index_date", "visit_occurrence_id")
+    val outcome = Seq(
+      (2L, ts("2015-06-01 00:00:00")), (4L, ts("2015-06-01 00:00:00")),
+      (3L, ts("2015-01-15 00:00:00")), (5L, ts("2014-12-01 00:00:00")))
+      .toDF("person_id", "index_date")
+    outcome.createOrReplaceGlobalTempView(QueryBuilder.EntryCohort)
+
+    val splitsDir = s"$out/splits"
+    Seq((1L, "train"), (2L, "train"), (3L, "train"), (4L, "test"), (5L, "test"))
+      .toDF("person_id", "split").write.parquet(splitsDir)
+
+    val cfg = NestedCohortBuilder.Config(
+      cohortName = "Spec Cohort",
+      inputFolder = omopInput,
+      outputFolder = out,
+      ehrTableList = Seq("condition_occurrence"),
+      observationWindow = 0,
+      holdOffWindow = 0,
+      predictionStartDays = 30,
+      predictionWindow = 360,
+      patientSplitsFolder = Some(splitsDir),
+      isFirstTimeOutcome = true,
+      isRemoveIndexPredictionStarts = true,
+      isObservationWindowUnbounded = true,
+      excludeFeatures = true)
+
+    val cohort = new NestedCohortBuilder(cfg).build(spark, target, outcome)
+
+    val rows = cohort
+      .select("person_id", "label", "time_to_event", "cohort_member_id")
+      .collect()
+      .map(r => r.getAs[Long]("person_id") ->
+        ((r.getAs[Int]("label"), r.getAs[Int]("time_to_event"), r.getAs[Int]("cohort_member_id"))))
+      .toMap
+
+    // p3 and p5 excluded; p2/p4 labeled 1 with time-to-outcome 151 days;
+    // p1 labeled 0 with time_to_event = the full 360-day window
+    assert(rows.keySet == Set(1L, 2L, 4L))
+    assert(rows(1L)._1 == 0 && rows(2L)._1 == 1 && rows(4L)._1 == 1)
+    assert(rows(1L)._2 == 360 && rows(2L)._2 == 151 && rows(4L)._2 == 151)
+    // member ids: one per surviving (person, index, visit) triple, dense
+    assert(rows.values.map(_._3).toSeq.sorted == Seq(1, 2, 3))
+
+    // one row per member after the positives-first safeguard
+    assert(cohort.count() == 3)
+    assert(cohort.columns.contains("study_end_date"))
+
+    // split sink: train/test partitioned by the splits table, temp removed
+    val base = s"$out/spec_cohort"
+    val train = spark.read.parquet(s"$base/train")
+    val test = spark.read.parquet(s"$base/test")
+    assert(train.select("person_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(test.select("person_id").as[Long].collect().toSet == Set(4L))
+    assert(train.columns.contains("split") && test.columns.contains("split"))
+    assert(!Files.exists(Paths.get(s"$base/temp")))
+  }
+}
