@@ -118,9 +118,14 @@ object Dedup {
           .as("__e"))
         .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct())
+    // seed with min(self, neighbors): exactly the fixpoint of round 1 under
+    // identity labels (the label-of-label jump is the identity there), fused
+    // into the node-extraction aggregation — one full join round saved, and
+    // star-shaped inputs (exactStar pair feeds) converge in a single check
     var labels = Checkpoints.cut(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("component", col("node")))
+      edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("__m"))
+        .select(col("node"), least(col("node"), col("__m")).as("component")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
