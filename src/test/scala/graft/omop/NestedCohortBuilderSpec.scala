@@ -90,4 +90,112 @@ class NestedCohortBuilderSpec extends SparkSpecBase {
     assert(train.columns.contains("split") && test.columns.contains("split"))
     assert(!Files.exists(Paths.get(s"$base/temp")))
   }
+
+  test("build: unbounded window + MEDS rename + single contribution") {
+    assume(Files.exists(Paths.get(omopInput)), s"$omopInput not present")
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-nested-meds").toString
+
+    // p1: two target entries (2014 and 2015) — singleContribution must keep
+    // the POSITIVE one (2015 has an outcome after index+30; 2014's outcome at
+    // 2015-03-01 also labels it 1 ... choose dates so 2014 entry is negative:
+    // outcome at 2015-03-01 is >= 2014-06-01+30 → both label 1; tie broken by
+    // latest index_date). p2: one entry, no outcome → label 0, study end =
+    // observation_period_end_date.
+    val target = Seq(
+      (1L, ts("2014-06-01 00:00:00"), 11L),
+      (1L, ts("2015-01-01 00:00:00"), 12L),
+      (2L, ts("2015-01-01 00:00:00"), 21L))
+      .toDF("person_id", "index_date", "visit_occurrence_id")
+    val outcome = Seq((1L, ts("2015-03-01 00:00:00")))
+      .toDF("person_id", "index_date")
+
+    val cfg = NestedCohortBuilder.Config(
+      cohortName = "MEDS Cohort",
+      inputFolder = omopInput,
+      outputFolder = out,
+      ehrTableList = Seq("condition_occurrence"),
+      observationWindow = 0,
+      holdOffWindow = 0,
+      predictionStartDays = 30,
+      predictionWindow = 360,
+      isPredictionWindowUnbounded = true,
+      isObservationWindowUnbounded = true,
+      singleContribution = true,
+      medsFormat = true,
+      excludeFeatures = true)
+
+    val cohort = new NestedCohortBuilder(cfg).build(spark, target, outcome)
+
+    // MEDS renames applied
+    assert(cohort.columns.contains("subject_id")
+      && cohort.columns.contains("prediction_time")
+      && cohort.columns.contains("boolean_value"))
+    val rows = cohort
+      .select("subject_id", "prediction_time", "boolean_value", "time_to_event")
+      .collect()
+      .map(r => r.getAs[Long]("subject_id") ->
+        ((r.getAs[Timestamp]("prediction_time"), r.getAs[Boolean]("boolean_value"),
+          r.getAs[Int]("time_to_event"))))
+      .toMap
+
+    // one contribution per person; p1 keeps the latest positive entry
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L)._1 == ts("2015-01-01 00:00:00") && rows(1L)._2)
+    // p1: study_end = outcome date → 59 days from index
+    assert(rows(1L)._3 == 59)
+    // p2 negative: unbounded window → study_end = observation_period_end_date
+    // (2019-11-24 for person 2 in the sample CDM)
+    assert(!rows(2L)._2)
+    assert(rows(2L)._3 ==
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse("2015-01-01"),
+        java.time.LocalDate.parse("2019-11-24")).toInt)
+  }
+
+  test("build: concept-frequency feature branch joins features and applies thresholds") {
+    assume(Files.exists(Paths.get(omopInput)), s"$omopInput not present")
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-nested-feat").toString
+
+    val target = Seq(1L, 2L, 10L)
+      .map(p => (p, ts("2015-01-01 00:00:00"), 1000L + p))
+      .toDF("person_id", "index_date", "visit_occurrence_id")
+    val outcome = Seq((2L, ts("2015-06-01 00:00:00")))
+      .toDF("person_id", "index_date")
+
+    val cfg = NestedCohortBuilder.Config(
+      cohortName = "Feature Cohort",
+      inputFolder = omopInput,
+      outputFolder = out,
+      ehrTableList = Seq("condition_occurrence"),
+      observationWindow = 0,
+      holdOffWindow = 0,
+      predictionStartDays = 30,
+      predictionWindow = 360,
+      numOfVisits = 1,
+      numOfConcepts = 1,
+      isObservationWindowUnbounded = true,
+      isFeatureConceptFrequency = true,
+      excludeFeatures = false)
+
+    val cohort = new NestedCohortBuilder(cfg).build(spark, target, outcome)
+
+    // the feature join brings concept frequency columns onto the cohort rows
+    for (c <- Seq("concept_ids", "frequencies", "num_of_visits", "num_of_concepts", "label"))
+      assert(cohort.columns.contains(c), s"missing $c")
+    val got = cohort
+      .select("person_id", "label", "num_of_visits", "num_of_concepts")
+      .collect()
+      .map(r => (r.getAs[Long]("person_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("num_of_visits"), r.getAs[Long]("num_of_concepts")))
+    // every surviving member has pre-index conditions meeting the thresholds,
+    // frequencies align 1:1 with concept ids, and the outcome label held on
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, v, c) => v >= 1 && c >= 1 })
+    assert(got.collect { case (2L, l, _, _) => l }.forall(_ == 1))
+    val aligned = cohort.select(size(col("concept_ids")) === size(col("frequencies")))
+      .as[Boolean].collect()
+    assert(aligned.forall(identity))
+  }
 }
