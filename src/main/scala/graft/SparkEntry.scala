@@ -388,9 +388,11 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("component"))
     }),
 
-    // LSH-bucketed approximate top-k — the 100 TB scale path; rows-only check.
+    // LSH-bucketed approximate top-k — the 100 TB scale path (bucket cap ON;
+    // no bucket on this corpus exceeds it, so the frozen snapshot holds).
     "knn2_lsh_top3" -> ((s, dir) => {
-      Knn.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3, dims = 64)
+      Knn.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3, dims = 64,
+        maxBucketSize = Some(64))
     }),
 
     // IVF approximate top-k with Lloyd-refined centroids — cell-bucketed
@@ -645,9 +647,12 @@ object SparkEntry {
     // generation can only lose pairs, never invent them, so equality both
     // certifies no false positives and (on this corpus, where no pair reaches
     // the threshold) exact agreement with the exhaustive answer.
+    // Bucket cap ON: over-cap buckets dropped, identical-vector groups
+    // recovered as cosine-1 star edges — both no-ops on this corpus (the
+    // brute-force oracle equality certifies it).
     "knn4_cosine_neardup" -> ((s, dir) => {
       Knn.cosineNearDuplicates(T(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.95, dims = 64)
+          threshold = 0.95, dims = 64, maxBucketSize = Some(64))
         .select(col("left_id"), col("right_id"), round(col("cosine"), 4).as("cosine"))
     }),
 

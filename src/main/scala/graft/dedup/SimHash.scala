@@ -66,7 +66,11 @@ object SimHash {
                      zeroStar: Boolean = false): DataFrame = {
     val chunks = maxDistance + 1
     val width = 64 / chunks
+    // the fingerprint table feeds both join sides, the bucket-cap agg and the
+    // distance-0 recovery — persist it so the explode+aggregate fingerprint
+    // pass runs once, not once per consumer
     val fps = fingerprints(docs, idCol, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val allKeyed = fps.select(col(idCol).as("__id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk_idx"),
@@ -78,11 +82,16 @@ object SimHash {
     val keyed = maxBucketSize match {
       case None => allKeyed
       case Some(cap) =>
-        val small = allKeyed.groupBy("chunk_idx", "chunk_val")
+        // the over-cap bucket-key set is tiny by the cap's premise: find it
+        // with a map-side-combinable hash agg and broadcast-anti-join it
+        // away, streaming the keyed table through — never a shuffled semi
+        // join against the huge under-cap majority
+        val big = allKeyed.groupBy("chunk_idx", "chunk_val")
           .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= cap)
+          .filter(col("__n") > cap)
           .select("chunk_idx", "chunk_val")
-        allKeyed.join(small, Seq("chunk_idx", "chunk_val"), "left_semi")
+        allKeyed.join(broadcast(big), Seq("chunk_idx", "chunk_val"), "left_anti")
+          .select("__id", "simhash", "chunk_idx", "chunk_val")
     }
     val a = keyed.select(col("chunk_idx"), col("chunk_val"),
       col("__id").as("left_id"), col("simhash").as("__sh_l"))

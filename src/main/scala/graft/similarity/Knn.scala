@@ -35,12 +35,24 @@ object Knn {
       .otherwise(VectorFunctions.dot(vl, vr) / (nl * nr))
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold
-    * among LSH-bucket candidates (exact under the bucket approximation). */
+    * among LSH-bucket candidates (exact under the bucket approximation).
+    * With `maxBucketSize` set, giant buckets are dropped and identical-vector
+    * groups are recovered as star edges (member ↔ group-min id, cosine 1) —
+    * connectivity-preserving for cluster consumers, linear output. */
   def cosineNearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dims: Int, planes: Int = 12,
-                           tables: Int = 3): DataFrame = {
-    val cands = lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
-      .filter(col("left_id") < col("right_id"))
+                           tables: Int = 3,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
+    val lsh = lshCandidates(vecs, idCol, vecCol, dims, planes, tables, maxBucketSize)
+    // limit = 0: each member pairs with the group minimum only — star edges
+    // (emitted member→min, so normalize the order before the left<right cut)
+    val cands = (maxBucketSize match {
+      case None => lsh
+      case Some(_) =>
+        lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = 0)
+          .select(least(col("left_id"), col("right_id")).as("left_id"),
+            greatest(col("left_id"), col("right_id")).as("right_id"))).distinct()
+    }).filter(col("left_id") < col("right_id"))
     val v = withNorm(vecs, idCol, vecCol, "__id", "__v", "__n")
     cands
       .join(v.toDF("left_id", "__vl", "__nl"), "left_id")
@@ -64,10 +76,19 @@ object Knn {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Same-bucket candidate pairs under `tables` independent hyperplane tables. */
+  /** Same-bucket candidate pairs under `tables` independent hyperplane tables.
+    *
+    * `maxBucketSize`: skew guard — identical/near-identical embeddings (mass-
+    * duplicated content) collapse into the same buckets in EVERY table, and a
+    * bucket of d vectors puts d² pairs into the join. Buckets above the cap
+    * are dropped from candidate generation (broadcast anti-join on the tiny
+    * over-cap key set); callers that set the cap should recover
+    * identical-vector neighbors separately (see [[exactDupVectorPairs]] and
+    * its use in [[lshTopK]] / [[cosineNearDuplicates]]). */
   def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
-                    planes: Int, tables: Int): DataFrame = {
-    val keyed = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+                    planes: Int, tables: Int,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
+    val keyedRaw = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .select(col("__id"), explode(array((0 until tables).map { t =>
         struct(lit(t).as("table_idx"),
           VectorFunctions.hyperplaneLshKey(col("__v"), dims, planes,
@@ -75,6 +96,21 @@ object Knn {
       }: _*)).as("__k"))
       .select(col("__id"), col("__k.table_idx").as("table_idx"),
         col("__k.bucket").as("bucket"))
+    // under the cap the key table has two consumers (over-cap agg + anti-join
+    // input) — persist so the hyperplane hashing runs once
+    val keyedBase = if (maxBucketSize.isDefined)
+      keyedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else keyedRaw
+    val keyed = maxBucketSize match {
+      case None => keyedBase
+      case Some(cap) =>
+        val big = keyedBase.groupBy("table_idx", "bucket")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > cap)
+          .select("table_idx", "bucket")
+        keyedBase.join(broadcast(big), Seq("table_idx", "bucket"), "left_anti")
+          .select("__id", "table_idx", "bucket")
+    }
     val a = keyed.select(col("table_idx"), col("bucket"), col("__id").as("left_id"))
     val b = keyed.select(col("table_idx"), col("bucket"), col("__id").as("right_id"))
     a.join(b, Seq("table_idx", "bucket"))
@@ -82,10 +118,43 @@ object Knn {
       .select("left_id", "right_id").distinct()
   }
 
-  /** Approximate top-k via LSH candidates (recall grows with planes↓ / tables↑). */
+  /** Ordered neighbor pairs among ids with an IDENTICAL embedding — the
+    * recovery complement that makes LSH bucket caps safe for vectors:
+    * identical embeddings are cosine-1 neighbors by definition and always
+    * share every (giant) bucket. Each member is paired with the group's
+    * `limit`+1 LOWEST ids excluding itself (cosine-1 neighbors are
+    * interchangeable, so a deterministic subset suffices: `limit = k` keeps
+    * k neighbors per member for top-k; `limit = 0` yields star edges),
+    * keeping output linear in group
+    * size instead of quadratic. The per-group sorted-id array bounds memory
+    * at one row per distinct embedding — corpora with degenerate dup groups
+    * (≫10⁶ copies) should exact-dedup first ([[graft.dedup.Dedup.exact]]). */
+  def exactDupVectorPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                          limit: Int): DataFrame = {
+    val h = vecs.select(col(idCol).as("__id"), xxhash64(col(vecCol)).as("__vh"))
+    val groups = h.groupBy("__vh")
+      .agg(slice(sort_array(collect_list(col("__id"))), 1, limit + 1).as("__low"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    h.join(groups, Seq("__vh"))
+      .select(col("__id").as("left_id"), explode(col("__low")).as("right_id"))
+      .filter(col("left_id") =!= col("right_id"))
+  }
+
+  /** Approximate top-k via LSH candidates (recall grows with planes↓ / tables↑).
+    * With `maxBucketSize` set, over-cap buckets are skipped and each member of
+    * an identical-embedding group keeps its k guaranteed cosine-1 neighbors
+    * via [[exactDupVectorPairs]] — the only candidates a cap could otherwise
+    * cost that are provably in the true top-k. */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
-              planes: Int = 10, tables: Int = 4): DataFrame = {
-    val cands = lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
+              planes: Int = 10, tables: Int = 4,
+              maxBucketSize: Option[Int] = None): DataFrame = {
+    val lsh = lshCandidates(vecs, idCol, vecCol, dims, planes, tables, maxBucketSize)
+    val cands = maxBucketSize match {
+      case None => lsh
+      case Some(_) =>
+        lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k)).distinct()
+    }
     val v = withNorm(vecs, idCol, vecCol, "__id", "__v", "__n")
     val scored = cands
       .join(v.toDF("left_id", "__vl", "__nl"), "left_id")

@@ -52,4 +52,57 @@ class KnnSpec extends SparkSpecBase {
     val agree = bf.count { case (q, n) => ivf.get(q).contains(n) }
     assert(agree >= 95, s"IVF agreed on only $agree/100 top-1 neighbors")
   }
+
+  // 40 byte-identical embeddings (a giant LSH bucket in every table) mixed
+  // with the clustered corpus — the vector analog of DedupSkewSpec
+  private lazy val withDups: DataFrame = {
+    import spark.implicits._
+    val dup = Array.tabulate(8)(i => 1.0f + i)
+    (1000L until 1040L).map(i => (i, dup)).toDF("vec_id", "embedding")
+      .union(vecs)
+  }
+
+  test("lshTopK bucket cap keeps cosine-1 neighbors of identical embeddings") {
+    val capped = Knn.lshTopK(withDups, "vec_id", "embedding", k = 3, dims = 8,
+      maxBucketSize = Some(10))
+    val dupRows = capped.filter(col("query_id") >= 1000L)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+    // every dup-group member keeps 3 neighbors, all from the group, cosine 1
+    val byQuery = dupRows.groupBy(_._1)
+    assert(byQuery.keySet == (1000L until 1040L).toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 3)
+      assert(rows.forall { case (_, n, c) => n >= 1000L && math.abs(c - 1.0) < 1e-9 })
+    }
+  }
+
+  test("lshCandidates bucket cap drops giant buckets and only them") {
+    // cap 10: the 40-dup bucket AND the ~25-member tight-cluster buckets all
+    // exceed it — candidate generation must drop exactly the over-cap
+    // buckets' pairs (a subset of uncapped) and all dup-dup pairs with them
+    val capped = Knn.lshCandidates(withDups, "vec_id", "embedding", dims = 8,
+      planes = 10, tables = 4, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L })
+    val uncapped = Knn.lshCandidates(withDups, "vec_id", "embedding", dims = 8,
+      planes = 10, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // a cap above every bucket size changes nothing
+    val bigCap = Knn.lshCandidates(withDups, "vec_id", "embedding", dims = 8,
+      planes = 10, tables = 4, maxBucketSize = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigCap == uncapped)
+  }
+
+  test("cosineNearDuplicates cap recovers identical vectors as star edges") {
+    val out = Knn.cosineNearDuplicates(withDups, "vec_id", "embedding",
+        threshold = 0.95, dims = 8, maxBucketSize = Some(10))
+      .filter(col("left_id") >= 1000L)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")))
+      .toSet
+    // star: group-min 1000 ↔ every member
+    assert(out == (1001L until 1040L).map(b => (1000L, b)).toSet)
+  }
 }
