@@ -194,6 +194,14 @@ object Dedup {
    * only pairs that can be missed are non-identical docs whose overlap is
    * exclusively ubiquitous shingles — by construction the pairs with the
    * least discriminative similarity.
+   *
+   * NOTE: with the cap set this method is EAGER — it materializes the
+   * frequent-shingle set at call time (one map-side-combinable pass over the
+   * persisted shingle index) to pick between the guarded plan and the plain
+   * inverted-index plan (identical output, half the stages, when no shingle
+   * exceeds the cap). The plan choice is therefore frozen against the input
+   * as of the call: build the DataFrame when you run it, not against a
+   * source that will grow in between.
    */
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, blockCol: Column,
                           text: Column, n: Int = 3,
@@ -236,15 +244,12 @@ object Dedup {
         // comes entirely from high-df shingles, so only the RARE index
         // self-joins; the frequent side is folded back in linearly below.
         // By the cap's own premise the frequent-shingle SET is tiny (it is
-        // boilerplate shared by > cap docs), so compute it with a map-side-
-        // combinable hash agg — only (block, shingle, partial-count) rows
-        // shuffle — and BROADCAST it to split the index. No sort, no window
-        // over the full exploded index, and nothing index-sized persists:
-        // the consumers re-explode from the persisted `sh` arrays.
-        val freqSet = exploded.groupBy("__b", "__shingle")
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > cap)
-          .select("__b", "__shingle")
+        // boilerplate shared by > cap docs — see SkewGuards), so it is
+        // BROADCAST to split the index. No sort, no window over the full
+        // exploded index, and nothing index-sized persists: the consumers
+        // re-explode from the persisted `sh` arrays.
+        val freqSet = graft.operators.SkewGuards
+          .overCapKeys(exploded, Seq("__b", "__shingle"), cap)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Adaptive short-circuit: when NO shingle exceeds the cap the split
         // is the identity and the exact-fingerprint recovery is redundant —

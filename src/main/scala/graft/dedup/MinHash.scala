@@ -115,18 +115,8 @@ object MinHash {
     else bucketsRaw
     val kept = maxBucketSize match {
       case None => buckets
-      case Some(cap) =>
-        // the over-cap bucket-key set is tiny by the cap's premise (giant
-        // buckets are boilerplate collisions), so find it with a map-side-
-        // combinable hash agg and BROADCAST-anti-join it away — streaming
-        // the bucket table through, instead of shuffling it into a semi join
-        // against the huge under-cap majority
-        val big = buckets.groupBy("band_idx", "band_hash")
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > cap)
-          .select("band_idx", "band_hash")
-        buckets.join(broadcast(big), Seq("band_idx", "band_hash"), "left_anti")
-          .select("__id", "band_idx", "band_hash")
+      case Some(cap) => graft.operators.SkewGuards
+        .dropOverCapRows(buckets, Seq("band_idx", "band_hash"), cap)
     }
     val a = kept.withColumnRenamed("__id", "left_id")
     val b = kept.withColumnRenamed("__id", "right_id")

@@ -81,17 +81,8 @@ object SimHash {
         col("__c.chunk_idx").as("chunk_idx"), col("__c.chunk_val").as("chunk_val"))
     val keyed = maxBucketSize match {
       case None => allKeyed
-      case Some(cap) =>
-        // the over-cap bucket-key set is tiny by the cap's premise: find it
-        // with a map-side-combinable hash agg and broadcast-anti-join it
-        // away, streaming the keyed table through — never a shuffled semi
-        // join against the huge under-cap majority
-        val big = allKeyed.groupBy("chunk_idx", "chunk_val")
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > cap)
-          .select("chunk_idx", "chunk_val")
-        allKeyed.join(broadcast(big), Seq("chunk_idx", "chunk_val"), "left_anti")
-          .select("__id", "simhash", "chunk_idx", "chunk_val")
+      case Some(cap) => graft.operators.SkewGuards
+        .dropOverCapRows(allKeyed, Seq("chunk_idx", "chunk_val"), cap)
     }
     val a = keyed.select(col("chunk_idx"), col("chunk_val"),
       col("__id").as("left_id"), col("simhash").as("__sh_l"))

@@ -103,13 +103,8 @@ object Knn {
     else keyedRaw
     val keyed = maxBucketSize match {
       case None => keyedBase
-      case Some(cap) =>
-        val big = keyedBase.groupBy("table_idx", "bucket")
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > cap)
-          .select("table_idx", "bucket")
-        keyedBase.join(broadcast(big), Seq("table_idx", "bucket"), "left_anti")
-          .select("__id", "table_idx", "bucket")
+      case Some(cap) => graft.operators.SkewGuards
+        .dropOverCapRows(keyedBase, Seq("table_idx", "bucket"), cap)
     }
     val a = keyed.select(col("table_idx"), col("bucket"), col("__id").as("left_id"))
     val b = keyed.select(col("table_idx"), col("bucket"), col("__id").as("right_id"))
@@ -125,19 +120,21 @@ object Knn {
     * `limit`+1 LOWEST ids excluding itself (cosine-1 neighbors are
     * interchangeable, so a deterministic subset suffices: `limit = k` keeps
     * k neighbors per member for top-k; `limit = 0` yields star edges),
-    * keeping output linear in group
-    * size instead of quadratic. The per-group sorted-id array bounds memory
-    * at one row per distinct embedding — corpora with degenerate dup groups
-    * (≫10⁶ copies) should exact-dedup first ([[graft.dedup.Dedup.exact]]). */
+    * keeping output linear in group size instead of quadratic. The lowest
+    * ids are found with [[graft.operators.TopKPerGroup]] — Catalyst's
+    * WindowGroupLimit keeps a bounded per-group heap BEFORE the shuffle, so
+    * memory stays bounded even for a group of 10⁸ identical copies (the
+    * mass-duplication case the bucket cap exists to survive). */
   def exactDupVectorPairs(vecs: DataFrame, idCol: String, vecCol: String,
                           limit: Int): DataFrame = {
     val h = vecs.select(col(idCol).as("__id"), xxhash64(col(vecCol)).as("__vh"))
-    val groups = h.groupBy("__vh")
-      .agg(slice(sort_array(collect_list(col("__id"))), 1, limit + 1).as("__low"),
-        count(lit(1)).as("__n"))
-      .filter(col("__n") > 1)
-    h.join(groups, Seq("__vh"))
-      .select(col("__id").as("left_id"), explode(col("__low")).as("right_id"))
+    // the (limit+1) lowest ids per hash group, bounded-memory; singleton
+    // groups contribute only the self pair, filtered below
+    val lows = graft.operators.TopKPerGroup
+      .topK(h, Seq("__vh"), Seq(col("__id")), limit + 1)
+      .select(col("__vh"), col("__id").as("right_id"))
+    h.join(lows, Seq("__vh"))
+      .select(col("__id").as("left_id"), col("right_id"))
       .filter(col("left_id") =!= col("right_id"))
   }
 

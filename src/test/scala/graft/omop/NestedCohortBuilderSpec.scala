@@ -27,19 +27,24 @@ class NestedCohortBuilderSpec extends SparkSpecBase {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-nested").toString
 
-    // targets: persons 1-5 at 2015-01-01; outcomes (= entry cohort):
-    //   p2, p4 → 2015-06-01  (inside [index+30, index+360]  → label 1)
-    //   p3     → 2015-01-15  (inside [index, index+29]      → index-window exclusion)
-    //   p5     → 2014-12-01  (before index+30               → first-time-outcome exclusion)
+    // targets: persons 1-5 at 2015-01-01. The two exclusions are driven by
+    // DISJOINT cohorts so each must bite on its own:
+    //   entry cohort (first-time exclusion):  p5 → 2014-12-01
+    //     (before index+30 → p5 dropped by firstTimeOutcomeSql ONLY)
+    //   outcome cohort (index-window exclusion + labels):
+    //     p3 → 2015-01-15 (inside [index, index+29] → dropped by
+    //       removeIndexPredictionStartsSql ONLY — the entry cohort has no p3)
+    //     p2, p4 → 2015-06-01 (inside [index+30, index+360] → label 1)
     // p1 has no outcome; its observation period covers index+360 → label 0.
     val target = Seq(1L, 2L, 3L, 4L, 5L)
       .map(p => (p, ts("2015-01-01 00:00:00"), 1000L + p))
       .toDF("person_id", "index_date", "visit_occurrence_id")
     val outcome = Seq(
       (2L, ts("2015-06-01 00:00:00")), (4L, ts("2015-06-01 00:00:00")),
-      (3L, ts("2015-01-15 00:00:00")), (5L, ts("2014-12-01 00:00:00")))
+      (3L, ts("2015-01-15 00:00:00")))
       .toDF("person_id", "index_date")
-    outcome.createOrReplaceGlobalTempView(QueryBuilder.EntryCohort)
+    Seq((5L, ts("2014-12-01 00:00:00"))).toDF("person_id", "index_date")
+      .createOrReplaceGlobalTempView(QueryBuilder.EntryCohort)
 
     val splitsDir = s"$out/splits"
     Seq((1L, "train"), (2L, "train"), (3L, "train"), (4L, "test"), (5L, "test"))
