@@ -36,15 +36,22 @@ class NestedCohortBuilderSpec extends SparkSpecBase {
     //       removeIndexPredictionStartsSql ONLY — the entry cohort has no p3)
     //     p2, p4 → 2015-06-01 (inside [index+30, index+360] → label 1)
     // p1 has no outcome; its observation period covers index+360 → label 0.
-    val target = Seq(1L, 2L, 3L, 4L, 5L)
+    val target0 = Seq(1L, 2L, 3L, 4L, 5L)
       .map(p => (p, ts("2015-01-01 00:00:00"), 1000L + p))
       .toDF("person_id", "index_date", "visit_occurrence_id")
+    // third disjoint exclusion: p6 appears ONLY in the negative (questionable)
+    // cohort → dropped by questionableOutcomeSql alone, at any date
+    val target = target0.union(
+      Seq((6L, ts("2015-01-01 00:00:00"), 1006L))
+        .toDF("person_id", "index_date", "visit_occurrence_id"))
     val outcome = Seq(
       (2L, ts("2015-06-01 00:00:00")), (4L, ts("2015-06-01 00:00:00")),
       (3L, ts("2015-01-15 00:00:00")))
       .toDF("person_id", "index_date")
     Seq((5L, ts("2014-12-01 00:00:00"))).toDF("person_id", "index_date")
       .createOrReplaceGlobalTempView(QueryBuilder.EntryCohort)
+    Seq((6L, ts("2010-01-01 00:00:00"))).toDF("person_id", "index_date")
+      .createOrReplaceGlobalTempView(QueryBuilder.NegativeCohort)
 
     val splitsDir = s"$out/splits"
     Seq((1L, "train"), (2L, "train"), (3L, "train"), (4L, "test"), (5L, "test"))
@@ -61,6 +68,7 @@ class NestedCohortBuilderSpec extends SparkSpecBase {
       predictionWindow = 360,
       patientSplitsFolder = Some(splitsDir),
       isFirstTimeOutcome = true,
+      isQuestionableOutcomeExisted = true,
       isRemoveIndexPredictionStarts = true,
       isObservationWindowUnbounded = true,
       excludeFeatures = true)
