@@ -43,13 +43,16 @@ object Knn {
                            threshold: Double, dims: Int, planes: Int = 12,
                            tables: Int = 3,
                            maxBucketSize: Option[Int] = None): DataFrame = {
-    val lsh = lshCandidates(vecs, idCol, vecCol, dims, planes, tables, maxBucketSize)
     // limit = 0: each member pairs with the group minimum only — star edges
-    // (emitted member→min, so normalize the order before the left<right cut)
+    // (emitted member→min, so normalize the order before the left<right cut).
+    // Recovery only runs when a bucket actually exceeded the cap.
     val cands = (maxBucketSize match {
-      case None => lsh
-      case Some(_) =>
-        lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = 0)
+      case None => lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
+      case Some(cap) =>
+        val (keyed, capped) = guardedKeyed(vecs, idCol, vecCol, dims, planes, tables, cap)
+        val lsh = bucketPairs(keyed)
+        if (!capped) lsh
+        else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = 0)
           .select(least(col("left_id"), col("right_id")).as("left_id"),
             greatest(col("left_id"), col("right_id")).as("right_id"))).distinct()
     }).filter(col("left_id") < col("right_id"))
@@ -76,19 +79,11 @@ object Knn {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Same-bucket candidate pairs under `tables` independent hyperplane tables.
-    *
-    * `maxBucketSize`: skew guard — identical/near-identical embeddings (mass-
-    * duplicated content) collapse into the same buckets in EVERY table, and a
-    * bucket of d vectors puts d² pairs into the join. Buckets above the cap
-    * are dropped from candidate generation (broadcast anti-join on the tiny
-    * over-cap key set); callers that set the cap should recover
-    * identical-vector neighbors separately (see [[exactDupVectorPairs]] and
-    * its use in [[lshTopK]] / [[cosineNearDuplicates]]). */
-  def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
-                    planes: Int, tables: Int,
-                    maxBucketSize: Option[Int] = None): DataFrame = {
-    val keyedRaw = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+  /** (id, table_idx, bucket) hyperplane LSH keys under `tables` independent
+    * tables. */
+  private def hyperplaneKeyed(vecs: DataFrame, idCol: String, vecCol: String,
+                              dims: Int, planes: Int, tables: Int): DataFrame =
+    vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .select(col("__id"), explode(array((0 until tables).map { t =>
         struct(lit(t).as("table_idx"),
           VectorFunctions.hyperplaneLshKey(col("__v"), dims, planes,
@@ -96,22 +91,53 @@ object Knn {
       }: _*)).as("__k"))
       .select(col("__id"), col("__k.table_idx").as("table_idx"),
         col("__k.bucket").as("bucket"))
-    // under the cap the key table has two consumers (over-cap agg + anti-join
-    // input) — persist so the hyperplane hashing runs once
-    val keyedBase = if (maxBucketSize.isDefined)
-      keyedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    else keyedRaw
-    val keyed = maxBucketSize match {
-      case None => keyedBase
-      case Some(cap) => graft.operators.SkewGuards
-        .dropOverCapRows(keyedBase, Seq("table_idx", "bucket"), cap)
-    }
+
+  /** Same-bucket candidate id pairs (both orders) from a keyed table. */
+  private def bucketPairs(keyed: DataFrame): DataFrame = {
     val a = keyed.select(col("table_idx"), col("bucket"), col("__id").as("left_id"))
     val b = keyed.select(col("table_idx"), col("bucket"), col("__id").as("right_id"))
     a.join(b, Seq("table_idx", "bucket"))
       .filter(col("left_id") =!= col("right_id"))
       .select("left_id", "right_id").distinct()
   }
+
+  /** Guarded keyed table: persist the keys, materialize the over-cap bucket
+    * set (EAGER — one map-side-combinable pass, same contract as
+    * [[graft.dedup.Dedup.ngramJaccardBlocked]]'s cap path: build the
+    * DataFrame when you run it), and return the plain keyed table when no
+    * bucket exceeds the cap — the guarded plan IS the plain plan then, so
+    * downstream recovery can be skipped (`capBit = false`). */
+  private def guardedKeyed(vecs: DataFrame, idCol: String, vecCol: String,
+                           dims: Int, planes: Int, tables: Int,
+                           cap: Int): (DataFrame, Boolean) = {
+    val keyed = hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val big = graft.operators.SkewGuards
+      .overCapKeys(keyed, Seq("table_idx", "bucket"), cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (big.isEmpty) (keyed, false)
+    else (keyed.join(broadcast(big), Seq("table_idx", "bucket"), "left_anti")
+      .select("__id", "table_idx", "bucket"), true)
+  }
+
+  /** Same-bucket candidate pairs under `tables` independent hyperplane tables.
+    *
+    * `maxBucketSize`: skew guard — identical/near-identical embeddings (mass-
+    * duplicated content) collapse into the same buckets in EVERY table, and a
+    * bucket of d vectors puts d² pairs into the join. Buckets above the cap
+    * are dropped from candidate generation (broadcast anti-join on the tiny
+    * over-cap key set, skipped entirely when no bucket is over — an EAGER
+    * probe, see [[guardedKeyed]]); callers that set the cap should recover
+    * identical-vector neighbors separately (see [[exactDupVectorPairs]] and
+    * its use in [[lshTopK]] / [[cosineNearDuplicates]]). */
+  def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
+                    planes: Int, tables: Int,
+                    maxBucketSize: Option[Int] = None): DataFrame =
+    maxBucketSize match {
+      case None => bucketPairs(hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables))
+      case Some(cap) =>
+        bucketPairs(guardedKeyed(vecs, idCol, vecCol, dims, planes, tables, cap)._1)
+    }
 
   /** Ordered neighbor pairs among ids with an IDENTICAL embedding — the
     * recovery complement that makes LSH bucket caps safe for vectors:
@@ -146,11 +172,14 @@ object Knn {
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
               planes: Int = 10, tables: Int = 4,
               maxBucketSize: Option[Int] = None): DataFrame = {
-    val lsh = lshCandidates(vecs, idCol, vecCol, dims, planes, tables, maxBucketSize)
+    // recovery only runs when a bucket actually exceeded the cap
     val cands = maxBucketSize match {
-      case None => lsh
-      case Some(_) =>
-        lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k)).distinct()
+      case None => lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
+      case Some(cap) =>
+        val (keyed, capped) = guardedKeyed(vecs, idCol, vecCol, dims, planes, tables, cap)
+        val lsh = bucketPairs(keyed)
+        if (!capped) lsh
+        else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k)).distinct()
     }
     val v = withNorm(vecs, idCol, vecCol, "__id", "__v", "__n")
     val scored = cands
