@@ -90,11 +90,16 @@ object MinHash {
                      seed: Long = 42L,
                      maxBucketSize: Option[Int] = None): DataFrame =
     candidatePairsFromBase(hashedBase(docs, idCol, text, n), bands, rowsPerBand,
-      seed, maxBucketSize)
+      seed, maxBucketSize)._1
 
+  /** Returns (pairs, capActive). With a cap set the over-cap bucket set is
+    * materialized at call time (EAGER, same contract as
+    * [[Dedup.ngramJaccardBlocked]]); when it is empty the plain banded plan
+    * runs — identical output — and `capActive = false` tells callers the
+    * exact-fingerprint recovery is redundant. */
   private def candidatePairsFromBase(base: DataFrame, bands: Int, rowsPerBand: Int,
                                      seed: Long,
-                                     maxBucketSize: Option[Int]): DataFrame = {
+                                     maxBucketSize: Option[Int]): (DataFrame, Boolean) = {
     val k = bands * rowsPerBand
     // Drop empty-shingle docs (all−1 sentinel signature — min hash of a
     // nonempty set is in [0, p)): they all share one giant bucket whose d²
@@ -113,17 +118,23 @@ object MinHash {
     val buckets = if (maxBucketSize.isDefined)
       bucketsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else bucketsRaw
-    val kept = maxBucketSize match {
-      case None => buckets
-      case Some(cap) => graft.operators.SkewGuards
-        .dropOverCapRows(buckets, Seq("band_idx", "band_hash"), cap)
+    val (kept, capActive) = maxBucketSize match {
+      case None => (buckets, false)
+      case Some(cap) =>
+        val big = graft.operators.SkewGuards
+          .overCapKeys(buckets, Seq("band_idx", "band_hash"), cap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (big.isEmpty) (buckets, false)
+        else (buckets
+          .join(broadcast(big), Seq("band_idx", "band_hash"), "left_anti")
+          .select("__id", "band_idx", "band_hash"), true)
     }
     val a = kept.withColumnRenamed("__id", "left_id")
     val b = kept.withColumnRenamed("__id", "right_id")
-    a.join(b, Seq("band_idx", "band_hash"))
+    (a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id")
-      .distinct()
+      .distinct(), capActive)
   }
 
   /** Pairs of documents with identical normalized content — the complement
@@ -188,11 +199,12 @@ object MinHash {
     // verify join doesn't re-run the banding plan.
     val base = hashedBase(docs, idCol, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val lsh = candidatePairsFromBase(base, bands, rowsPerBand, seed, maxBucketSize)
-    val cands = (maxBucketSize match {
-      case None => lsh
-      case Some(_) => lsh.union(exactPairs(base, n, exactStar)).distinct()
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recovery only runs when a bucket actually exceeded the cap — when none
+    // did, the guarded plan IS the plain banded plan and every LSH-findable
+    // pair (including identical docs) is already in `lsh`
+    val (lsh, capped) = candidatePairsFromBase(base, bands, rowsPerBand, seed, maxBucketSize)
+    val cands = (if (capped) lsh.union(exactPairs(base, n, exactStar)).distinct() else lsh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.jaccardFromHashed(cands, base.select(col("__id"), col("__hs")))
       .filter(col("jaccard") >= threshold)
   }

@@ -79,10 +79,20 @@ object SimHash {
       }: _*)).as("__c"))
       .select(col("__id"), col("simhash"),
         col("__c.chunk_idx").as("chunk_idx"), col("__c.chunk_val").as("chunk_val"))
-    val keyed = maxBucketSize match {
-      case None => allKeyed
-      case Some(cap) => graft.operators.SkewGuards
-        .dropOverCapRows(allKeyed, Seq("chunk_idx", "chunk_val"), cap)
+    // adaptive cap: materialize the over-cap chunk-bucket set once (EAGER,
+    // same contract as Dedup.ngramJaccardBlocked's cap path); when empty the
+    // plain blocked plan runs and the distance-0 recovery below is skipped —
+    // every identical-simhash pair is already in the blocked join's output
+    val (keyed, capActive) = maxBucketSize match {
+      case None => (allKeyed, false)
+      case Some(cap) =>
+        val big = graft.operators.SkewGuards
+          .overCapKeys(allKeyed, Seq("chunk_idx", "chunk_val"), cap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (big.isEmpty) (allKeyed, false)
+        else (allKeyed
+          .join(broadcast(big), Seq("chunk_idx", "chunk_val"), "left_anti")
+          .select("__id", "simhash", "chunk_idx", "chunk_val"), true)
     }
     val a = keyed.select(col("chunk_idx"), col("chunk_val"),
       col("__id").as("left_id"), col("simhash").as("__sh_l"))
@@ -94,29 +104,28 @@ object SimHash {
       .filter(col("hamming_dist") <= maxDistance)
       .select("left_id", "right_id", "hamming_dist")
       .distinct()
-    maxBucketSize match {
-      case None => blocked
-      case Some(_) =>
-        // recover distance-0 pairs (identical simhash ⇒ every chunk bucket is
-        // the giant one) via a fingerprint-equality self-join
-        val zeros = if (zeroStar) {
-          val reps = fps.groupBy("simhash")
-            .agg(min(col(idCol)).as("left_id"), count(lit(1)).as("__n"))
-            .filter(col("__n") > 1)
-            .select("simhash", "left_id")
-          fps.join(reps, Seq("simhash"))
-            .filter(col(idCol) =!= col("left_id"))
-            .select(col("left_id"), col(idCol).as("right_id"),
-              lit(0).cast("integer").as("hamming_dist"))
-        } else {
-          val ha = fps.select(col("simhash"), col(idCol).as("left_id"))
-          val hb = fps.select(col("simhash"), col(idCol).as("right_id"))
-          ha.join(hb, Seq("simhash"))
-            .filter(col("left_id") < col("right_id"))
-            .select(col("left_id"), col("right_id"),
-              lit(0).cast("integer").as("hamming_dist"))
-        }
-        blocked.union(zeros).distinct()
+    if (!capActive) blocked
+    else {
+      // recover distance-0 pairs (identical simhash ⇒ every chunk bucket is
+      // the giant one) via a fingerprint-equality self-join
+      val zeros = if (zeroStar) {
+        val reps = fps.groupBy("simhash")
+          .agg(min(col(idCol)).as("left_id"), count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+          .select("simhash", "left_id")
+        fps.join(reps, Seq("simhash"))
+          .filter(col(idCol) =!= col("left_id"))
+          .select(col("left_id"), col(idCol).as("right_id"),
+            lit(0).cast("integer").as("hamming_dist"))
+      } else {
+        val ha = fps.select(col("simhash"), col(idCol).as("left_id"))
+        val hb = fps.select(col("simhash"), col(idCol).as("right_id"))
+        ha.join(hb, Seq("simhash"))
+          .filter(col("left_id") < col("right_id"))
+          .select(col("left_id"), col("right_id"),
+            lit(0).cast("integer").as("hamming_dist"))
+      }
+      blocked.union(zeros).distinct()
     }
   }
 }
