@@ -24,6 +24,10 @@ object GraftSession {
     .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // parallelismFirst stays at its default (true): measured at sf0.1/32
+    // cores, size-first coalescing (false) collapsed the heavy aggregations
+    // to single advisory-sized tasks and cost ~20% total bench time
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
