@@ -257,7 +257,7 @@ object Dedup {
         // half the stages. The emptiness probe is one map-side-combinable
         // hash-agg pass over the (persisted) index — negligible next to the
         // self-join it sizes, and `freqSet` feeds the guarded plan anyway.
-        if (freqSet.isEmpty) return finish(indexPairs(exploded, "__inter"))
+        if (freqSet.isEmpty) { freqSet.unpersist(); return finish(indexPairs(exploded, "__inter")) }
         val rareExpl = exploded
           .join(broadcast(freqSet), Seq("__b", "__shingle"), "left_anti")
           .select("__id", "__b", "__size", "__shingle") // fixed order: fed to positional toDF below

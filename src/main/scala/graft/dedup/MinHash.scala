@@ -84,6 +84,9 @@ object MinHash {
    * the stage. Buckets above the cap are dropped from candidate generation;
    * callers that set the cap MUST recover identical documents separately
    * (see [[nearDuplicates]], which unions exact-fingerprint pairs back in).
+   * With the cap set this method is EAGER — it materializes the over-cap
+   * bucket set at call time to pick the guarded or plain plan (see
+   * [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]).
    */
   def candidatePairs(docs: DataFrame, idCol: String, text: Column, n: Int = 3,
                      bands: Int = 8, rowsPerBand: Int = 4,
@@ -120,14 +123,8 @@ object MinHash {
     else bucketsRaw
     val (kept, capActive) = maxBucketSize match {
       case None => (buckets, false)
-      case Some(cap) =>
-        val big = graft.operators.SkewGuards
-          .overCapKeys(buckets, Seq("band_idx", "band_hash"), cap)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (big.isEmpty) (buckets, false)
-        else (buckets
-          .join(broadcast(big), Seq("band_idx", "band_hash"), "left_anti")
-          .select("__id", "band_idx", "band_hash"), true)
+      case Some(cap) => graft.operators.SkewGuards
+        .adaptiveDropOverCapRows(buckets, Seq("band_idx", "band_hash"), cap)
     }
     val a = kept.withColumnRenamed("__id", "left_id")
     val b = kept.withColumnRenamed("__id", "right_id")
@@ -187,7 +184,10 @@ object MinHash {
     * than `n` tokens (including empty/whitespace docs, whose pairwise
     * Jaccard is defined as 0) are NOT recovered by the fingerprint path —
     * recovery targets Jaccard-1 groups only. Use a positive threshold, or
-    * run [[Dedup.exact]] for sub-`n`-token identity. */
+    * run [[Dedup.exact]] for sub-`n`-token identity.
+    *
+    * With a cap set this method is EAGER (the over-cap probe runs at call
+    * time — see [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]). */
   def nearDuplicates(docs: DataFrame, idCol: String, text: Column,
                      threshold: Double, n: Int = 3, bands: Int = 8,
                      rowsPerBand: Int = 4, seed: Long = 42L,

@@ -59,6 +59,9 @@ object SimHash {
    * identical-simhash group of d docs. With `zeroStar = true` it emits the
    * d−1 star edges (group-min id → member) instead of the clique — same
    * connected components, linear output; use for cluster-labeling consumers.
+   *
+   * With a cap set this method is EAGER (the over-cap probe runs at call
+   * time — see [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]).
    */
   def nearDuplicates(docs: DataFrame, idCol: String, text: Column,
                      maxDistance: Int = 3,
@@ -85,14 +88,8 @@ object SimHash {
     // every identical-simhash pair is already in the blocked join's output
     val (keyed, capActive) = maxBucketSize match {
       case None => (allKeyed, false)
-      case Some(cap) =>
-        val big = graft.operators.SkewGuards
-          .overCapKeys(allKeyed, Seq("chunk_idx", "chunk_val"), cap)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (big.isEmpty) (allKeyed, false)
-        else (allKeyed
-          .join(broadcast(big), Seq("chunk_idx", "chunk_val"), "left_anti")
-          .select("__id", "simhash", "chunk_idx", "chunk_val"), true)
+      case Some(cap) => graft.operators.SkewGuards
+        .adaptiveDropOverCapRows(allKeyed, Seq("chunk_idx", "chunk_val"), cap)
     }
     val a = keyed.select(col("chunk_idx"), col("chunk_val"),
       col("__id").as("left_id"), col("simhash").as("__sh_l"))

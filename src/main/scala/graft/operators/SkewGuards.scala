@@ -32,4 +32,28 @@ object SkewGuards {
   def dropOverCapRows(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     df.join(broadcast(overCapKeys(df, keys, cap)), keys, "left_anti")
       .select(df.columns.map(col).toSeq: _*)
+
+  /**
+   * Adaptive variant of [[dropOverCapRows]]: EAGERLY materializes the
+   * over-cap key set (one map-side-combinable pass over `df` — pass a
+   * persisted `df` so the probe shares the scan with the downstream plan)
+   * and, when NO group exceeds the cap, returns `df` untouched with
+   * `capActive = false` so callers can skip their recovery complements —
+   * the guarded plan IS the plain plan then.
+   *
+   * Contract: the plan choice is frozen against the input as of the call.
+   * Build the DataFrame when you run it, not against a source that will
+   * grow in between — a later re-evaluation against mutated input would
+   * run the unguarded plan. When groups WERE dropped, the key set stays
+   * cached until the returned plan executes; in the common empty case the
+   * probe cache is released immediately.
+   */
+  def adaptiveDropOverCapRows(df: DataFrame, keys: Seq[String],
+                              cap: Int): (DataFrame, Boolean) = {
+    val big = overCapKeys(df, keys, cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (big.isEmpty) { big.unpersist(); (df, false) }
+    else (df.join(broadcast(big), keys, "left_anti")
+      .select(df.columns.map(col).toSeq: _*), true)
+  }
 }

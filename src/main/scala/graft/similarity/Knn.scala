@@ -38,7 +38,9 @@ object Knn {
     * among LSH-bucket candidates (exact under the bucket approximation).
     * With `maxBucketSize` set, giant buckets are dropped and identical-vector
     * groups are recovered as star edges (member ↔ group-min id, cosine 1) —
-    * connectivity-preserving for cluster consumers, linear output. */
+    * connectivity-preserving for cluster consumers, linear output; the
+    * over-cap probe is EAGER (runs at call time, see
+    * [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]). */
   def cosineNearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dims: Int, planes: Int = 12,
                            tables: Int = 3,
@@ -112,12 +114,8 @@ object Knn {
                            cap: Int): (DataFrame, Boolean) = {
     val keyed = hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val big = graft.operators.SkewGuards
-      .overCapKeys(keyed, Seq("table_idx", "bucket"), cap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (big.isEmpty) (keyed, false)
-    else (keyed.join(broadcast(big), Seq("table_idx", "bucket"), "left_anti")
-      .select("__id", "table_idx", "bucket"), true)
+    graft.operators.SkewGuards
+      .adaptiveDropOverCapRows(keyed, Seq("table_idx", "bucket"), cap)
   }
 
   /** Same-bucket candidate pairs under `tables` independent hyperplane tables.
@@ -168,7 +166,9 @@ object Knn {
     * With `maxBucketSize` set, over-cap buckets are skipped and each member of
     * an identical-embedding group keeps its k guaranteed cosine-1 neighbors
     * via [[exactDupVectorPairs]] — the only candidates a cap could otherwise
-    * cost that are provably in the true top-k. */
+    * cost that are provably in the true top-k. The over-cap probe is EAGER
+    * (runs at call time, see
+    * [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]). */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
               planes: Int = 10, tables: Int = 4,
               maxBucketSize: Option[Int] = None): DataFrame = {

@@ -22,6 +22,16 @@ class NestedCohortBuilderSpec extends SparkSpecBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  override def afterAll(): Unit = {
+    // the shared session outlives this suite — don't leak cohort views into
+    // later suites (a test inheriting them would pass on stale data instead
+    // of failing fast on a missing view)
+    for (v <- Seq(QueryBuilder.EntryCohort, QueryBuilder.NegativeCohort,
+        "target_cohort", "outcome_cohort"))
+      spark.catalog.dropGlobalTempView(v)
+    super.afterAll()
+  }
+
   test("build: exclusions, labels, member ids, time_to_event and splits end-to-end") {
     assume(Files.exists(Paths.get(omopInput)), s"$omopInput not present")
     import spark.implicits._
