@@ -41,11 +41,14 @@ object PlanAudit {
         "no window over low-cardinality key" -> "!Window",
         "bounds broadcast back onto fact" -> "BroadcastHashJoin",
         "partial (map-side) percentile" -> "partial_percentile")),
-      // the bucket-cap guard must split the index with BROADCAST anti-joins
-      // (the over-cap set is tiny); a shuffled semi/anti join here means the
-      // whole bucket table shuffles against its own under-cap majority
+      // the adaptive bucket cap probed this corpus, found no over-cap bucket
+      // and must short-circuit to the PLAIN banded plan: no residual
+      // anti-join, no recovery union, and no sort-merge join anywhere. The
+      // skewed-input complement (the split IS a broadcast anti-join when a
+      // bucket exceeds the cap) is asserted in DedupSkewSpec.
       Check("dedup2_minhash_pairs", Seq(
-        "bucket cap split is a broadcast anti-join" -> "BroadcastHashJoin LeftAnti",
+        "adaptive cap short-circuits to the plain plan on un-skewed data" ->
+          "!BroadcastHashJoin LeftAnti",
         "no sort-merge join anywhere in the guard path" -> "!SortMergeJoin")),
       // custom codegen'd kernels must appear as plain expressions (vec_dot),
       // not CodegenFallback-wrapped higher-order functions

@@ -124,6 +124,26 @@ class DedupSkewSpec extends SparkSpecBase {
     assert(allDupPairs.subsetOf(near))
   }
 
+  test("active bucket cap plans a BROADCAST anti-join split (and none when un-skewed)") {
+    // skewed: the 40-doc identical block overflows cap=5 → the adaptive guard
+    // must split with a broadcast anti-join, never a shuffled one
+    val skewedPlan = MinHash.nearDuplicates(docs, "doc_id", col("text"),
+        threshold = 0.5, maxBucketSize = Some(5))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(skewedPlan.contains("BroadcastHashJoin LeftAnti"),
+      "— over-cap split must be a broadcast anti-join")
+    assert(!skewedPlan.contains("SortMergeJoin LeftAnti"),
+      "— over-cap split must not shuffle the bucket table")
+    // un-skewed: a cap above every bucket size short-circuits to the plain
+    // banded plan — no anti-join at all (PlanAuditSpec asserts the same on
+    // the sf0.001 driver query)
+    val plainPlan = MinHash.nearDuplicates(docs, "doc_id", col("text"),
+        threshold = 0.5, maxBucketSize = Some(10000))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plainPlan.contains("LeftAnti"),
+      "— empty over-cap set must short-circuit to the plain plan")
+  }
+
   test("SimHash.nearDuplicates zeroStar emits star edges for the identical-simhash group") {
     val out = SimHash.nearDuplicates(docs, "doc_id", col("text"), maxDistance = 3,
       maxBucketSize = Some(5), zeroStar = true)

@@ -8,7 +8,9 @@ import graft.SparkSpecBase
  * Enforces the [[PlanAudit]] expectations as tests: the scale-critical plan
  * properties (pushdown, broadcast dims, window-group-limit, codegen kernels,
  * no low-cardinality WindowExec) must hold in the compiled plan, not just in
- * a manually-read CLI report. Plans are built, never executed — this is fast.
+ * a manually-read CLI report. Plans are built, not executed (the one
+ * exception: adaptive-cap queries run their tiny over-cap probe job at
+ * construction — sub-second at sf0.001).
  */
 class PlanAuditSpec extends SparkSpecBase {
 
