@@ -207,17 +207,24 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_extendedprice")
         .agg(count(lit(1)).as("__cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Both trim bounds come from ONE percentile(..., array(0.01, 0.99), ...)
+      // aggregate — a single pass over the compacted table instead of two.
       val bounds = g.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.01, __cnt)").as("__lo"),
-          expr("percentile(l_extendedprice, 0.99, __cnt)").as("__hi"))
+        .agg(expr("percentile(l_extendedprice, array(0.01, 0.99), __cnt)").as("__b"))
+        .select(col("l_returnflag"),
+          col("__b").getItem(0).as("__lo"), col("__b").getItem(1).as("__hi"))
       val n = sum(col("__cnt"))
       val s1 = sum(col("l_extendedprice") * col("__cnt"))
       val s2 = sum(col("l_extendedprice") * col("l_extendedprice") * col("__cnt"))
+      // greatest(…, 0) guards the single-pass variance against catastrophic
+      // cancellation on near-constant groups (sqrt of a tiny negative → NaN
+      // where the oracle's Welford stddev returns 0.00).
       g.join(broadcast(bounds), Seq("l_returnflag"))
         .filter(col("l_extendedprice").between(col("__lo"), col("__hi")))
         .groupBy("l_returnflag")
         .agg(round(s1 / n, 2).as("trimmed_mean"),
-          round(when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - 1))), 2).as("trimmed_stddev"),
+          round(when(n > 1, sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))), 2)
+            .as("trimmed_stddev"),
           n.as("n_trimmed"),
           round(expr("percentile(l_extendedprice, 0.5, __cnt)"), 2).as("median"))
     }),
