@@ -22,15 +22,37 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try run(SparkEntry.queries("a1_pricing_summary"))
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_BENCH_REPS>1 runs the whole suite that many times in the
+    // same JVM and session order and reports the per-query MEDIAN (plus the
+    // min-max spread), so round-over-round comparisons aren't at the mercy
+    // of this host's ±30-40% single-run noise. Default 1 = driver behavior.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try run(SparkEntry.queries(name)) catch { case _: Throwable => }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map(n => n -> median(samples.map(_(n))))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val spread =
+      if (reps <= 1) ""
+      else {
+        val sp = names.map { n =>
+          val xs = samples.map(_(n))
+          s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
+        }.mkString("{", ",", "}")
+        s""","reps":$reps,"spread":$sp"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$spread}""")
     spark.stop()
   }
 }

@@ -663,9 +663,17 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
-    // §2.1 S10: seeded random split (Spark-side only → rows-only check).
+    // §2.1 S10: seeded random split. randomSplit is deterministic only per
+    // partitioning (it sorts within partitions, then samples by partition
+    // index) — so the input is pinned to a hash repartition on the key,
+    // making the split a pure function of (data, seed) independent of scan
+    // layout. That turns the former rows-only check into a frozen sf0.01
+    // snapshot (SnapshotOracleSpec); cross-JVM stability verified before
+    // freezing.
     "s10_random_split" -> ((s, dir) => {
-      val Array(train, test) = T(s, dir, "customer").randomSplit(Array(0.8, 0.2), 42)
+      val Array(train, test) = T(s, dir, "customer")
+        .repartition(4, col("c_custkey"))
+        .randomSplit(Array(0.8, 0.2), 42)
       train.withColumn("split", lit("train"))
         .unionByName(test.withColumn("split", lit("test")))
         .groupBy("split").agg(count(lit(1)).as("n"))

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
  * On an intentional semantic change: re-run, read the new hash from the
  * failure message, and update the constant IN THE SAME commit as the change.
  *
- * (`s10_random_split` stays rows-only by design — it samples with Spark's
- * partition-dependent RNG, which this canonicalization cannot stabilize.)
+ * `s10_random_split` qualifies since round 5: the query pins a hash
+ * repartition on the key before `randomSplit`, making the split a pure
+ * function of (data, seed) — verified hash-identical across two separate
+ * JVMs and two parallelism settings before freezing.
  */
 class SnapshotOracleSpec extends SparkSpecBase {
 
@@ -51,4 +53,5 @@ class SnapshotOracleSpec extends SparkSpecBase {
   check("dedup3_simhash", "595b68781e2394fdaa44560d0ffd6578")
   check("knn2_lsh_top3", "f8c3a88cd2fdcf95f98e9ffa55db44e1")
   check("knn3_ivf_top3", "a6dffe5b86babce3e95c2bd004ff98b0")
+  check("s10_random_split", "2474857a6780b0f7d73865782aff01dc")
 }
