@@ -92,19 +92,33 @@ object Dedup {
    * labels, AND its label's label (path compression — the "label of label"
    * jump halves chain lengths, so rounds needed = O(log diameter), not
    * O(diameter)). The neighbor-min join + hash-agg shuffle on node ids
-   * (uniform keys, map-side combinable); the label-of-label lookup is keyed
+   * (uniform keys, map-side combinable). The label-of-label lookup is keyed
    * on component values, which COLLAPSE onto few hot keys as components
-   * converge — AQE's skew join splits those hot partitions (the lookup side
-   * is one row per key, so replication is cheap). Lineage is
+   * converge, so the lookup strategy is adaptive per round: a cheap
+   * `approx_count_distinct` probe on the (already checkpointed) labels
+   * decides between a broadcast of the distinct live components — measured
+   * ~19-21 s → ~15-17 s warm for the full CC on a 2M-node binary-tree giant
+   * component + 40k small components, local[32]
+   * (`graft.tools.CcSkewProbe`) — and, when the live-component set is still
+   * too large to broadcast (early rounds at corpus scale: O(n) live
+   * labels), the direct join, whose hot keys AQE's skew join splits (the
+   * lookup side is one row per key, so replication is cheap; a
+   * distinct-component pre-aggregation WITHOUT the broadcast was measured
+   * in r4 as a net loss — +2 shuffles per round). Lineage is
    * cut per round like [[graft.operators.TransitiveClosure]]. If the
    * fixpoint is not reached within `maxIterations` this THROWS rather than
    * silently returning split components — the guaranteed reach after r
    * rounds is a component diameter on the order of 2^(r−2) (the first round
    * advances one hop and the last only detects the fixpoint), i.e. ~2^18 at
    * the default 20.
+   *
+   * @param broadcastComponentCap switch the label-of-label lookup to a
+   *   broadcast of the distinct live components once their (approximate)
+   *   count drops to this many rows (~32 B/row driver-side). 0 disables.
    */
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
-                          maxIterations: Int = 20): DataFrame = {
+                          maxIterations: Int = 20,
+                          broadcastComponentCap: Long = 2000000L): DataFrame = {
     import graft.core.Checkpoints
     // both edge directions from ONE evaluation of the (possibly expensive)
     // pair pipeline: explode emits (l→r, r→l) per pair, so a single
@@ -134,19 +148,28 @@ object Dedup {
         .groupBy(col("src").as("n")).agg(min("component").as("nbr_component"))
       // pointer doubling: the label my current label points at. Self-labeled
       // roots resolve to themselves, so coalesce only covers pruned labels.
-      // The probe side is keyed on component values, which collapse onto few
-      // hot keys as components converge — the giant-component key is handled
-      // by AQE's skew join (on in GraftSession), which splits the hot
-      // partition; the lookup side is one row per key, so replication is
-      // cheap. (A distinct-component pre-aggregation of the lookup was
-      // measured at +2 shuffles per round — a net loss at every scale AQE
-      // already covers.)
+      // Lookup strategy per round (measured rationale in the scaladoc):
+      // when the approximate live-component count fits the cap, resolve
+      // label-of-label on the distinct-component set and broadcast it back —
+      // the giant-component hot key never shuffles; otherwise join directly
+      // and let AQE's skew join (on in GraftSession) split hot partitions.
+      // The probe is one HLL pass over the checkpointed labels — no shuffle
+      // of the n rows.
       val lbl2 = labels.select(col("node").as("__c"), col("component").as("__cc"))
+      val liveApprox =
+        if (broadcastComponentCap <= 0) Long.MaxValue
+        else labels.agg(approx_count_distinct(col("component"), 0.05))
+          .first().getLong(0)
+      val lookup =
+        if (liveApprox <= broadcastComponentCap)
+          broadcast(labels.select(col("component").as("__c")).distinct()
+            .join(lbl2, Seq("__c")))
+        else lbl2
       // old label rides along so convergence is read off the same
       // materialization — no second join per round
       val updated = Checkpoints.cut(
         labels.join(nbrMin, labels("node") === nbrMin("n"), "left_outer")
-          .join(lbl2, labels("component") === col("__c"), "left_outer")
+          .join(lookup, labels("component") === col("__c"), "left_outer")
           .select(col("node"), col("component").as("__old"),
             least(
               least(col("component"), coalesce(col("nbr_component"), col("component"))),
