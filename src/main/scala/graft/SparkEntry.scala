@@ -219,14 +219,16 @@ object SparkEntry {
       // greatest(…, 0) guards the single-pass variance against catastrophic
       // cancellation on near-constant groups (sqrt of a tiny negative → NaN
       // where the oracle's Welford stddev returns 0.00).
-      g.join(broadcast(bounds), Seq("l_returnflag"))
-        .filter(col("l_extendedprice").between(col("__lo"), col("__hi")))
-        .groupBy("l_returnflag")
-        .agg(round(s1 / n, 2).as("trimmed_mean"),
-          round(when(n > 1, sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))), 2)
-            .as("trimmed_stddev"),
-          n.as("n_trimmed"),
-          round(expr("percentile(l_extendedprice, 0.5, __cnt)"), 2).as("median"))
+      graft.core.OperatorCaches.owned(
+        g.join(broadcast(bounds), Seq("l_returnflag"))
+          .filter(col("l_extendedprice").between(col("__lo"), col("__hi")))
+          .groupBy("l_returnflag")
+          .agg(round(s1 / n, 2).as("trimmed_mean"),
+            round(when(n > 1, sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))), 2)
+              .as("trimmed_stddev"),
+            n.as("n_trimmed"),
+            round(expr("percentile(l_extendedprice, 0.5, __cnt)"), 2).as("median")),
+        Seq(g))
     }),
 
     // §2.3 J13: EXISTS semi join.

@@ -1,0 +1,94 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/**
+ * Lifecycle for operator-internal caches.
+ *
+ * The multi-phase operators (MinHash / SimHash / n-gram / KNN / skew guards)
+ * persist corpus-scale intermediates because several phases of ONE result
+ * consume them — tokenized bases, bucket tables, candidate sets. Those
+ * caches are dead weight the moment the caller's action finishes, and in a
+ * long-lived session they would otherwise accumulate executor memory with
+ * no release path (each `persist` is keyed by plan in Spark's CacheManager
+ * and lives until an explicit `unpersist`).
+ *
+ * [[owned]] registers the intermediates against the operator's RESULT plan;
+ * a per-session [[QueryExecutionListener]] watches every successful action
+ * and, when the executed plan contains the result (subtree match on the
+ * analyzed plan), unpersists that result's intermediates and drops the
+ * entry. Releasing is always SAFE: a cached plan stays valid without its
+ * cache — a second action over the same result recomputes instead of
+ * re-reading, a perf cost only, never a correctness one. Callers that will
+ * materialize a result repeatedly should persist or checkpoint the RESULT
+ * (compact) rather than relying on operator internals (corpus-scale).
+ *
+ * [[releaseAll]] is the manual escape hatch for results that are built but
+ * never materialized.
+ */
+object OperatorCaches {
+
+  private final case class Entry(result: LogicalPlan, intermediates: Seq[DataFrame])
+
+  private val registries =
+    new ConcurrentHashMap[SparkSession, java.util.List[Entry]]()
+
+  /** Register `intermediates` (persisted DataFrames) to be unpersisted after
+    * the first successful action whose plan contains `result`. Returns
+    * `result` unchanged. */
+  def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    val spark = result.sparkSession
+    val list = registries.computeIfAbsent(spark, { s =>
+      s.listenerManager.register(listener(s))
+      java.util.Collections.synchronizedList(new java.util.ArrayList[Entry]())
+    })
+    list.add(Entry(result.queryExecution.analyzed, intermediates))
+    result
+  }
+
+  /** How many registrations are still waiting for their result to
+    * materialize (visible for specs/ops). */
+  def pending(spark: SparkSession): Int = {
+    val list = registries.get(spark)
+    if (list == null) 0 else list.size()
+  }
+
+  /** Unpersist every registered intermediate of the session immediately —
+    * for results that were built but never materialized. */
+  def releaseAll(spark: SparkSession): Unit = {
+    val list = registries.get(spark)
+    if (list != null) list.synchronized {
+      val it = list.iterator()
+      while (it.hasNext) { it.next().intermediates.foreach(_.unpersist(false)); it.remove() }
+    }
+  }
+
+  private def listener(spark: SparkSession): QueryExecutionListener =
+    new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = {
+        val list = registries.get(spark)
+        if (list == null || list.isEmpty) return
+        val plan =
+          try qe.analyzed
+          catch { case _: Throwable => return }
+        list.synchronized {
+          val it = list.iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (plan.exists(_.sameResult(e.result))) {
+              e.intermediates.foreach(_.unpersist(false))
+              it.remove()
+            }
+          }
+        }
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+}

@@ -280,7 +280,11 @@ object Dedup {
         // half the stages. The emptiness probe is one map-side-combinable
         // hash-agg pass over the (persisted) index — negligible next to the
         // self-join it sizes, and `freqSet` feeds the guarded plan anyway.
-        if (freqSet.isEmpty) { freqSet.unpersist(); return finish(indexPairs(exploded, "__inter")) }
+        if (freqSet.isEmpty) {
+          freqSet.unpersist()
+          return graft.core.OperatorCaches.owned(
+            finish(indexPairs(exploded, "__inter")), Seq(sh))
+        }
         val rareExpl = exploded
           .join(broadcast(freqSet), Seq("__b", "__shingle"), "left_anti")
           .select("__id", "__b", "__size", "__shingle") // fixed order: fed to positional toDF below
@@ -323,9 +327,11 @@ object Dedup {
           .select("left_id", "right_id", "jaccard")
 
         val exactOnes = fpPairs.withColumn("jaccard", lit(1.0))
-        corrected.unionByName(exactOnes)
-          .filter(col("jaccard") >= threshold)
-          .select("left_id", "right_id", "jaccard")
+        graft.core.OperatorCaches.owned(
+          corrected.unionByName(exactOnes)
+            .filter(col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard"),
+          Seq(sh, freqSet))
     }
   }
 }

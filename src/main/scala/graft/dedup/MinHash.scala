@@ -128,10 +128,13 @@ object MinHash {
     }
     val a = kept.withColumnRenamed("__id", "left_id")
     val b = kept.withColumnRenamed("__id", "right_id")
-    (a.join(b, Seq("band_idx", "band_hash"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id")
-      .distinct(), capActive)
+      .distinct()
+    (if (maxBucketSize.isDefined)
+      graft.core.OperatorCaches.owned(pairs, Seq(buckets))
+    else pairs, capActive)
   }
 
   /** Pairs of documents with identical normalized content — the complement
@@ -205,7 +208,9 @@ object MinHash {
     val (lsh, capped) = candidatePairsFromBase(base, bands, rowsPerBand, seed, maxBucketSize)
     val cands = (if (capped) lsh.union(exactPairs(base, n, exactStar)).distinct() else lsh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.jaccardFromHashed(cands, base.select(col("__id"), col("__hs")))
-      .filter(col("jaccard") >= threshold)
+    graft.core.OperatorCaches.owned(
+      Dedup.jaccardFromHashed(cands, base.select(col("__id"), col("__hs")))
+        .filter(col("jaccard") >= threshold),
+      Seq(base, cands))
   }
 }

@@ -101,7 +101,7 @@ object SimHash {
       .filter(col("hamming_dist") <= maxDistance)
       .select("left_id", "right_id", "hamming_dist")
       .distinct()
-    if (!capActive) blocked
+    val result = if (!capActive) blocked
     else {
       // recover distance-0 pairs (identical simhash ⇒ every chunk bucket is
       // the giant one) via a fingerprint-equality self-join
@@ -124,5 +124,6 @@ object SimHash {
       }
       blocked.union(zeros).distinct()
     }
+    graft.core.OperatorCaches.owned(result, Seq(fps))
   }
 }

@@ -45,15 +45,17 @@ object SkewGuards {
    * Build the DataFrame when you run it, not against a source that will
    * grow in between — a later re-evaluation against mutated input would
    * run the unguarded plan. When groups WERE dropped, the key set stays
-   * cached until the returned plan executes; in the common empty case the
-   * probe cache is released immediately.
+   * cached until the first action over the returned plan succeeds
+   * ([[graft.core.OperatorCaches]]); in the common empty case the probe
+   * cache is released immediately.
    */
   def adaptiveDropOverCapRows(df: DataFrame, keys: Seq[String],
                               cap: Int): (DataFrame, Boolean) = {
     val big = overCapKeys(df, keys, cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (big.isEmpty) { big.unpersist(); (df, false) }
-    else (df.join(broadcast(big), keys, "left_anti")
-      .select(df.columns.map(col).toSeq: _*), true)
+    else (graft.core.OperatorCaches.owned(
+      df.join(broadcast(big), keys, "left_anti")
+        .select(df.columns.map(col).toSeq: _*), Seq(big)), true)
   }
 }

@@ -114,8 +114,9 @@ object Knn {
                            cap: Int): (DataFrame, Boolean) = {
     val keyed = hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    graft.operators.SkewGuards
+    val (kept, capBit) = graft.operators.SkewGuards
       .adaptiveDropOverCapRows(keyed, Seq("table_idx", "bucket"), cap)
+    (graft.core.OperatorCaches.owned(kept, Seq(keyed)), capBit)
   }
 
   /** Same-bucket candidate pairs under `tables` independent hyperplane tables.
@@ -264,7 +265,9 @@ object Knn {
       .withColumn("cosine", pairCosine(col("__qv"), col("__qn"), col("__nv"), col("__nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    graft.core.OperatorCaches.owned(
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine"),
+      Seq(pruned))
   }
 }

@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.dedup.{Dedup, MinHash}
+
+/** The operator-cache lifecycle contract: corpus-scale intermediates
+  * persisted inside multi-phase operators are released once the first
+  * action over the operator's result succeeds, and results stay correct
+  * afterwards (recompute path). */
+class OperatorCachesSpec extends SparkSpecBase {
+
+  private def docs = {
+    import spark.implicits._
+    (1 to 40).map { i =>
+      val text = if (i % 4 == 0) "the quick brown fox jumps over the lazy dog"
+      else s"document number $i with some distinct words $i ${i * 7}"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  private def await(cond: => Boolean, ms: Long = 15000): Boolean = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    cond
+  }
+
+  test("near-dup caches are released after the result's first action") {
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val pendingBefore = OperatorCaches.pending(spark)
+
+    val result = MinHash.nearDuplicates(docs, "doc_id", col("text"),
+      threshold = 0.8, maxBucketSize = Some(5), exactStar = true)
+    assert(OperatorCaches.pending(spark) > pendingBefore,
+      "operator registered no owned caches")
+
+    val n1 = result.count()
+    assert(await(OperatorCaches.pending(spark) == pendingBefore),
+      "registered caches were not released after the action")
+    assert(await(
+      spark.sparkContext.getPersistentRDDs.keySet.subsetOf(rddsBefore)),
+      "persisted intermediate RDDs survived the release")
+
+    // recompute path: releasing a cache never changes the result
+    assert(result.count() === n1)
+  }
+
+  test("short-circuit (un-capped data) path releases the shingle base too") {
+    val pendingBefore = OperatorCaches.pending(spark)
+    // high cap → freqSet empty → adaptive short-circuit, sh still persisted
+    val result = Dedup.ngramJaccardBlocked(docs, "doc_id", lit(1),
+      col("text"), threshold = 0.5, maxShingleDocFreq = Some(1000))
+    assert(OperatorCaches.pending(spark) > pendingBefore)
+    result.count()
+    assert(await(OperatorCaches.pending(spark) == pendingBefore))
+  }
+
+  test("releaseAll frees caches of never-materialized results") {
+    val before = OperatorCaches.pending(spark)
+    MinHash.nearDuplicates(docs, "doc_id", col("text"),
+      threshold = 0.8, maxBucketSize = Some(5))
+    assert(OperatorCaches.pending(spark) > before)
+    OperatorCaches.releaseAll(spark)
+    assert(OperatorCaches.pending(spark) === 0)
+  }
+}
