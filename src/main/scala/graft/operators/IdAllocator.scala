@@ -34,13 +34,21 @@ object IdAllocator {
     // withColumn-replacement semantics: a pre-existing id column is replaced,
     // not duplicated (the reference's withColumn(idCol, row_number...) does
     // this implicitly — e.g. the first-time-outcome SQL seeds a provisional
-    // cohort_member_id that the allocator must overwrite)
-    val base = if (df.columns.contains(idCol)) df.drop(idCol) else df
-    val sorted = base.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    // cohort_member_id that the allocator must overwrite). Like the
+    // reference's window, the ORDERING evaluates before the replacement, so
+    // `order` may reference the old idCol values (re-numbering keyed by the
+    // previous id) — the old column is carried through the sort and removed
+    // from the rows only when the new id is appended.
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val oldIdx = sorted.schema.fieldNames.indexOf(idCol)
     val indexed: RDD[Row] = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + startAt))
+      val kept = if (oldIdx >= 0) row.toSeq.patch(oldIdx, Nil, 1) else row.toSeq
+      Row.fromSeq(kept :+ (idx + startAt))
     }
-    val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, false))
+    val fields =
+      if (oldIdx >= 0) sorted.schema.fields.patch(oldIdx, Nil, 1)
+      else sorted.schema.fields
+    val schema = StructType(fields :+ StructField(idCol, LongType, false))
     spark.createDataFrame(indexed, schema)
   }
 
@@ -63,13 +71,22 @@ object IdAllocator {
    */
   def denseKeyId(df: DataFrame, keys: Seq[String], idCol: String,
                  startAt: Long = 1L): DataFrame = {
-    // withColumn-replacement semantics, as in sequentialId above
-    val base = if (df.columns.contains(idCol)) df.drop(idCol) else df
-    val distinctKeys = base.select(keys.map(col): _*).distinct()
-    val keyed = sequentialId(distinctKeys, keys.map(col), idCol, startAt)
-    val renamed = keys.foldLeft(keyed)((d, k) => d.withColumnRenamed(k, s"__k_$k"))
-    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-    base.join(renamed, cond, "inner").drop(keys.map(k => s"__k_$k"): _*)
+    // withColumn-replacement semantics, as in sequentialId above — including
+    // a key list that CONTAINS idCol (dense re-basing keyed by the old id):
+    // the old column is renamed aside for the keying, then dropped.
+    val clash = keys.contains(idCol)
+    val tmp = s"__old_$idCol"
+    val base =
+      if (clash) df.withColumnRenamed(idCol, tmp)
+      else if (df.columns.contains(idCol)) df.drop(idCol)
+      else df
+    val keyNames = keys.map(k => if (clash && k == idCol) tmp else k)
+    val distinctKeys = base.select(keyNames.map(col): _*).distinct()
+    val keyed = sequentialId(distinctKeys, keyNames.map(col), idCol, startAt)
+    val renamed = keyNames.foldLeft(keyed)((d, k) => d.withColumnRenamed(k, s"__k_$k"))
+    val cond = keyNames.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    base.join(renamed, cond, "inner").drop(keyNames.map(k => s"__k_$k"): _*)
+      .drop(tmp)
   }
 
   /** Mint ids starting after the current maximum of `existingIds` — the

@@ -104,6 +104,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("seq_id")).toSeq == (1L to 100L))
   }
 
+  test("IdAllocator.sequentialId can re-number ordered by the id it replaces") {
+    // reference withColumn(id, row_number().over(orderBy(id))) semantics:
+    // the ordering sees the OLD id values, the output column is the new id
+    val df = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("id", "v")
+    val out = IdAllocator.sequentialId(df, Seq(col("id")), "id", startAt = 100L)
+      .orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(out.toSeq == Seq((100L, "a"), (101L, "b"), (102L, "c")))
+  }
+
+  test("IdAllocator.denseKeyId can re-base dense ids keyed by the id it replaces") {
+    val df = Seq((30L, "x"), (10L, "y"), (30L, "z"), (10L, "w")).toDF("id", "v")
+    val out = IdAllocator.denseKeyId(df, Seq("id"), "id")
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[Long]("id"))).toSet
+    assert(out == Set(("y", 1L), ("w", 1L), ("x", 2L), ("z", 2L)))
+  }
+
   test("Salting.saltedAggregate matches the direct aggregation on a skewed key") {
     // one hot key with 5000 rows, many cold keys
     val df = ((1 to 5000).map(_ => ("hot", 1.0)) ++ (1 to 200).map(i => (s"cold$i", 2.0)))
