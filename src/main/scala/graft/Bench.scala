@@ -27,11 +27,24 @@ object Bench {
     // min-max spread), so round-over-round comparisons aren't at the mercy
     // of this host's ±30-40% single-run noise. Default 1 = driver behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // SPARK_GRAFT_BENCH_ONLY=a10_percentile_stats,knn3_ivf_top3 restricts the
+    // suite to a comma-separated subset — for profiling a single query
+    // without paying the full-suite wall time. Unset = all queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try run(SparkEntry.queries(name)) catch { case _: Throwable => }
+        // a failed query must not abort the suite, but it must not silently
+        // report a near-zero time either — flag it on stderr (the driver
+        // parses only the stdout JSON line)
+        try run(SparkEntry.queries(name))
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] QUERY FAILED: $name — ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }

@@ -188,47 +188,95 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
-    // §2.4 A10: outlier-trimmed stats. Per-group trim bounds come from the
-    // exact `percentile` aggregate (a map-side-combinable hash agg) and are
-    // broadcast-joined back onto the fact table — NOT from percent_rank over
-    // a 3-value window partition, which sorts the whole fact table in 3
-    // straggler tasks that AQE cannot split. Both engines interpolate with
-    // the R-7 rule (index p·(n−1)) in IEEE doubles, so the bounds — and the
-    // boundary rows they admit — are bit-identical (the `median` column has
-    // relied on exactly this equivalence since round 1).
-    // One compaction pass — (flag, price, count), map-side combinable — then
-    // every percentile runs FREQUENCY-WEIGHTED over the compacted table
-    // (Spark's percentile builds exactly this counts-map internally, so the
-    // values are bit-identical) and the trimmed moments are recovered from
-    // the weighted sums. One scan of the fact table instead of two, and the
-    // trim filter touches distinct-value rows, not raw rows.
+    // §2.4 A10: outlier-trimmed stats via SORT-BASED exact rank selection.
+    //
+    // The exact `percentile` UDAF is a TypedImperativeAggregate: every
+    // partial is an OpenHashMap[value, count] that is serialized, shuffled,
+    // and re-merged entry-by-entry (boxed, rehash-heavy) into ONE final map
+    // per group — O(distinct values) single-task memory and the measured
+    // dominant cost of this query (jstack: all wall time in
+    // TypedAggregateWithHashMapAsBuffer.deserialize/OpenHashSet.rehash).
+    // Instead: one map-side-combinable compaction to (flag, value, count),
+    // a running-sum window over the COMPACTED table (same per-group row
+    // count the percentile map would hold, but Tungsten external sort +
+    // O(1) running state instead of a boxed hash map), and each percentile
+    // becomes "fetch the values covering multiset indices floor/ceil of
+    // p·(n−1)" — a conditional aggregation, fully codegen.
+    //
+    // Bit-exactness: replicates Spark's own Percentile.getPercentile
+    // arithmetic — position = (n−1).toDouble·p; lower/higher = floor/ceil;
+    // result = vLo when higher==lower or vLo==vHi, else
+    // (higher−position)·vLo + (position−lower)·vHi — in the same IEEE
+    // double operation order, so the bounds, the boundary rows they admit,
+    // and the median all stay identical to the `percentile` UDAF and to the
+    // DuckDB quantile_cont oracle (matched since round 1).
+    //
+    // The median of the TRIMMED multiset reuses the SAME cumulative table:
+    // trimmed index j is full index j + b where b = Σcount(value < lo), so
+    // no second sort — only the interpolation weights live in trimmed space.
     "a10_percentile_stats" -> ((s, dir) => {
-      val g = T(s, dir, "lineitem")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // cumulative multiset positions: row covers 0-based indices
+      // [__start, __end) of its group's sorted-with-frequency multiset
+      val cum = T(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_extendedprice")
         .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__end", sum(col("__cnt")).over(w))
+        .withColumn("__start", col("__end") - col("__cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Both trim bounds come from ONE percentile(..., array(0.01, 0.99), ...)
-      // aggregate — a single pass over the compacted table instead of two.
-      val bounds = g.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.01, 0.99), __cnt)").as("__b"))
+      def vAt(idx: Column): Column =
+        max(when(col("__start") <= idx && idx < col("__end"), col("l_extendedprice")))
+      def interp(pos: Column, lo: Column, hi: Column, vLo: Column, vHi: Column): Column =
+        when(hi === lo || vLo === vHi, vLo)
+          .otherwise((hi.cast("double") - pos) * vLo + (pos - lo.cast("double")) * vHi)
+      val tot = cum.groupBy("l_returnflag").agg(max(col("__end")).as("__n"))
+      val bounds = cum.join(broadcast(tot), "l_returnflag")
+        .withColumn("__p01", (col("__n") - 1).cast("double") * lit(0.01))
+        .withColumn("__p99", (col("__n") - 1).cast("double") * lit(0.99))
+        .withColumn("__l01", floor(col("__p01"))).withColumn("__h01", ceil(col("__p01")))
+        .withColumn("__l99", floor(col("__p99"))).withColumn("__h99", ceil(col("__p99")))
+        .groupBy("l_returnflag")
+        .agg(max(col("__p01")).as("__p01"), max(col("__l01")).as("__l01"),
+          max(col("__h01")).as("__h01"), max(col("__p99")).as("__p99"),
+          max(col("__l99")).as("__l99"), max(col("__h99")).as("__h99"),
+          vAt(col("__l01")).as("__v01l"), vAt(col("__h01")).as("__v01h"),
+          vAt(col("__l99")).as("__v99l"), vAt(col("__h99")).as("__v99h"))
         .select(col("l_returnflag"),
-          col("__b").getItem(0).as("__lo"), col("__b").getItem(1).as("__hi"))
-      val n = sum(col("__cnt"))
-      val s1 = sum(col("l_extendedprice") * col("__cnt"))
-      val s2 = sum(col("l_extendedprice") * col("l_extendedprice") * col("__cnt"))
+          interp(col("__p01"), col("__l01"), col("__h01"), col("__v01l"), col("__v01h")).as("__lo"),
+          interp(col("__p99"), col("__l99"), col("__h99"), col("__v99l"), col("__v99h")).as("__hi"))
+      val btw = col("l_extendedprice").between(col("__lo"), col("__hi"))
       // greatest(…, 0) guards the single-pass variance against catastrophic
       // cancellation on near-constant groups (sqrt of a tiny negative → NaN
       // where the oracle's Welford stddev returns 0.00).
+      val m = cum.join(broadcast(bounds), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(btw, col("__cnt"))).as("__nt"),
+          sum(when(btw, col("l_extendedprice") * col("__cnt"))).as("__s1"),
+          sum(when(btw, col("l_extendedprice") * col("l_extendedprice") * col("__cnt"))).as("__s2"),
+          coalesce(sum(when(col("l_extendedprice") < col("__lo"), col("__cnt"))), lit(0L)).as("__b"))
+      val medIdx = m.select(col("l_returnflag"), col("__b"),
+          ((col("__nt") - 1).cast("double") * lit(0.5)).as("__p50"))
+        .withColumn("__l50", floor(col("__p50"))).withColumn("__h50", ceil(col("__p50")))
+      val median = cum.join(broadcast(medIdx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max(col("__p50")).as("__p50"), max(col("__l50")).as("__l50"),
+          max(col("__h50")).as("__h50"),
+          vAt(col("__l50") + col("__b")).as("__v50l"),
+          vAt(col("__h50") + col("__b")).as("__v50h"))
+        .select(col("l_returnflag"),
+          interp(col("__p50"), col("__l50"), col("__h50"), col("__v50l"), col("__v50h")).as("__med"))
       graft.core.OperatorCaches.owned(
-        g.join(broadcast(bounds), Seq("l_returnflag"))
-          .filter(col("l_extendedprice").between(col("__lo"), col("__hi")))
-          .groupBy("l_returnflag")
-          .agg(round(s1 / n, 2).as("trimmed_mean"),
-            round(when(n > 1, sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))), 2)
-              .as("trimmed_stddev"),
-            n.as("n_trimmed"),
-            round(expr("percentile(l_extendedprice, 0.5, __cnt)"), 2).as("median")),
-        Seq(g))
+        m.join(median, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            round(col("__s1") / col("__nt"), 2).as("trimmed_mean"),
+            round(when(col("__nt") > 1,
+              sqrt(greatest((col("__s2") - col("__s1") * col("__s1") / col("__nt")) /
+                (col("__nt") - 1), lit(0.0)))), 2).as("trimmed_stddev"),
+            col("__nt").as("n_trimmed"),
+            round(col("__med"), 2).as("median")),
+        Seq(cum))
     }),
 
     // §2.3 J13: EXISTS semi join.

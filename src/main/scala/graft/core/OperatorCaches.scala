@@ -38,10 +38,18 @@ object OperatorCaches {
   private val registries =
     new ConcurrentHashMap[SparkSession, java.util.List[Entry]]()
 
+  /** Ops kill-switch: `SPARK_GRAFT_DISABLE_CACHE_LIFECYCLE=1` turns [[owned]]
+    * into a no-op (intermediates stay persisted until session end — the
+    * pre-lifecycle behavior). For A/B attribution of listener overhead and as
+    * an escape hatch if release-after-action ever misbehaves in production. */
+  private val disabled: Boolean =
+    sys.env.get("SPARK_GRAFT_DISABLE_CACHE_LIFECYCLE").exists(v => v == "1" || v == "true")
+
   /** Register `intermediates` (persisted DataFrames) to be unpersisted after
     * the first successful action whose plan contains `result`. Returns
     * `result` unchanged. */
   def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    if (disabled) return result
     val spark = result.sparkSession
     val list = registries.computeIfAbsent(spark, { s =>
       s.listenerManager.register(listener(s))

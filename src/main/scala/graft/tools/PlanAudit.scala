@@ -34,13 +34,19 @@ object PlanAudit {
       // over the joined fact table
       Check("j1_revenue_by_nation", Seq(
         "no Expand from mixed distinct aggregate" -> "!Expand")),
-      // trimmed stats must come from percentile hash-aggs + a broadcast-joined
-      // bounds table — a WindowExec here means a sort over a 3-value partition
-      // key that AQE cannot split (three straggler tasks at 100 TB)
+      // trimmed stats must come from sort-based rank selection over the
+      // COMPACTED (flag, value, count) table: a running-sum window there is
+      // bounded by value-domain cardinality (same rows a percentile map
+      // would hold) with O(1) state — while the `percentile` UDAF would
+      // funnel an O(distinct) boxed OpenHashMap through one merge task per
+      // group (the measured dominant cost before round 5). The fact table
+      // itself must still only be touched by the map-side compaction.
       Check("a10_percentile_stats", Seq(
-        "no window over low-cardinality key" -> "!Window",
-        "bounds broadcast back onto fact" -> "BroadcastHashJoin",
-        "partial (map-side) percentile" -> "partial_percentile")),
+        "no percentile hash-map aggregate" -> "!percentile",
+        "no object-buffer aggregate" -> "!ObjectHashAggregate",
+        "running-sum window over the compacted table" -> "Window",
+        "bounds broadcast back onto compacted table" -> "BroadcastHashJoin",
+        "map-side compaction of the fact scan" -> "partial_count")),
       // the adaptive bucket cap probed this corpus, found no over-cap bucket
       // and must short-circuit to the PLAIN banded plan: no residual
       // anti-join, no recovery union, and no sort-merge join anywhere. The
