@@ -188,64 +188,28 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
-    // §2.4 A10: outlier-trimmed stats via SORT-BASED exact rank selection.
-    //
-    // The exact `percentile` UDAF is a TypedImperativeAggregate: every
-    // partial is an OpenHashMap[value, count] that is serialized, shuffled,
-    // and re-merged entry-by-entry (boxed, rehash-heavy) into ONE final map
-    // per group — O(distinct values) single-task memory and the measured
-    // dominant cost of this query (jstack: all wall time in
-    // TypedAggregateWithHashMapAsBuffer.deserialize/OpenHashSet.rehash).
-    // Instead: one map-side-combinable compaction to (flag, value, count),
-    // a running-sum window over the COMPACTED table (same per-group row
-    // count the percentile map would hold, but Tungsten external sort +
-    // O(1) running state instead of a boxed hash map), and each percentile
-    // becomes "fetch the values covering multiset indices floor/ceil of
-    // p·(n−1)" — a conditional aggregation, fully codegen.
-    //
-    // Bit-exactness: replicates Spark's own Percentile.getPercentile
-    // arithmetic — position = (n−1).toDouble·p; lower/higher = floor/ceil;
-    // result = vLo when higher==lower or vLo==vHi, else
-    // (higher−position)·vLo + (position−lower)·vHi — in the same IEEE
-    // double operation order, so the bounds, the boundary rows they admit,
-    // and the median all stay identical to the `percentile` UDAF and to the
-    // DuckDB quantile_cont oracle (matched since round 1).
+    // §2.4 A10: outlier-trimmed stats via SORT-BASED exact rank selection
+    // (operators/ExactQuantiles.scala — see its scaladoc for why the exact
+    // `percentile` UDAF's per-group OpenHashMap merge is the wrong shape at
+    // scale and how bit-exactness vs percentile/quantile_cont is preserved).
     //
     // The median of the TRIMMED multiset reuses the SAME cumulative table:
     // trimmed index j is full index j + b where b = Σcount(value < lo), so
     // no second sort — only the interpolation weights live in trimmed space.
     "a10_percentile_stats" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      import graft.operators.ExactQuantiles
+      val flag = Seq("l_returnflag")
       // cumulative multiset positions: row covers 0-based indices
       // [__start, __end) of its group's sorted-with-frequency multiset
-      val cum = T(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_extendedprice")
-        .agg(count(lit(1)).as("__cnt"))
-        .withColumn("__end", sum(col("__cnt")).over(w))
-        .withColumn("__start", col("__end") - col("__cnt"))
+      val cum = ExactQuantiles.cumulate(
+          ExactQuantiles.compact(T(s, dir, "lineitem"), flag, "l_extendedprice"),
+          flag, "l_extendedprice")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def vAt(idx: Column): Column =
-        max(when(col("__start") <= idx && idx < col("__end"), col("l_extendedprice")))
+      def vAt(idx: Column): Column = ExactQuantiles.valueAt(idx, "l_extendedprice")
       def interp(pos: Column, lo: Column, hi: Column, vLo: Column, vHi: Column): Column =
-        when(hi === lo || vLo === vHi, vLo)
-          .otherwise((hi.cast("double") - pos) * vLo + (pos - lo.cast("double")) * vHi)
-      val tot = cum.groupBy("l_returnflag").agg(max(col("__end")).as("__n"))
-      val bounds = cum.join(broadcast(tot), "l_returnflag")
-        .withColumn("__p01", (col("__n") - 1).cast("double") * lit(0.01))
-        .withColumn("__p99", (col("__n") - 1).cast("double") * lit(0.99))
-        .withColumn("__l01", floor(col("__p01"))).withColumn("__h01", ceil(col("__p01")))
-        .withColumn("__l99", floor(col("__p99"))).withColumn("__h99", ceil(col("__p99")))
-        .groupBy("l_returnflag")
-        .agg(max(col("__p01")).as("__p01"), max(col("__l01")).as("__l01"),
-          max(col("__h01")).as("__h01"), max(col("__p99")).as("__p99"),
-          max(col("__l99")).as("__l99"), max(col("__h99")).as("__h99"),
-          vAt(col("__l01")).as("__v01l"), vAt(col("__h01")).as("__v01h"),
-          vAt(col("__l99")).as("__v99l"), vAt(col("__h99")).as("__v99h"))
-        .select(col("l_returnflag"),
-          interp(col("__p01"), col("__l01"), col("__h01"), col("__v01l"), col("__v01h")).as("__lo"),
-          interp(col("__p99"), col("__l99"), col("__h99"), col("__v99l"), col("__v99h")).as("__hi"))
+        ExactQuantiles.interpolate(pos, lo, hi, vLo, vHi)
+      val bounds = ExactQuantiles.quantilesOfCumulated(cum, flag,
+        "l_extendedprice", Seq(0.01 -> "__lo", 0.99 -> "__hi"))
       val btw = col("l_extendedprice").between(col("__lo"), col("__hi"))
       // greatest(…, 0) guards the single-pass variance against catastrophic
       // cancellation on near-constant groups (sqrt of a tiny negative → NaN

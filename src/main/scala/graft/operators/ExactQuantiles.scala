@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact distributed per-group quantiles by sort-based rank selection.
+ *
+ * Spark's exact `percentile` aggregate is a TypedImperativeAggregate whose
+ * per-group state is an OpenHashMap[value, count]: every partial map is
+ * serialized, shuffled, and re-merged entry-by-entry (boxed, rehash-heavy)
+ * into ONE final map per group — O(distinct values) single-task memory, and
+ * measurably the dominant cost of a trimmed-stats query (jstack on the
+ * round-5 bench host put all wall time in
+ * TypedAggregateWithHashMapAsBuffer.deserialize / OpenHashSet.rehash).
+ *
+ * This operator gets the same numbers from relational pieces that Catalyst
+ * compiles end-to-end:
+ *
+ *  1. [[compact]] — map-side-combinable reduction of raw rows to
+ *     (group, value, count). At 100 TB this is the only pass over the fact
+ *     table, and the result is bounded by GROUP × VALUE-DOMAIN cardinality,
+ *     not by row count.
+ *  2. [[cumulate]] — a running-count window over the compacted table:
+ *     per-group Tungsten external sort (spillable) + an O(1) running sum,
+ *     against the `percentile` map's O(distinct) boxed heap state.
+ *  3. [[quantilesOfCumulated]] — each requested quantile is "fetch the
+ *     values covering multiset indices floor/ceil of p·(n−1)" — one
+ *     conditional aggregation for all requested p at once.
+ *
+ * Bit-exactness: [[interpolate]] replicates Spark's own
+ * `Percentile.getPercentile` arithmetic — position = (n−1).toDouble · p,
+ * lower/higher = floor/ceil, result = vLo when higher == lower or
+ * vLo == vHi, else (higher−position)·vLo + (position−lower)·vHi — in the
+ * same IEEE double operation order, so results are identical to
+ * `percentile(value, p, freq)` (asserted by `ExactQuantilesSpec`).
+ *
+ * The cumulative table a caller gets from [[cumulate]] composes further:
+ * trimmed-subset quantiles need no second sort, because the trimmed index j
+ * is the full index j + (count of values below the trim bound) — see the
+ * a10 driver query for the worked median-of-trimmed example.
+ */
+object ExactQuantiles {
+
+  /** Map-side-combinable compaction of raw rows to (groupCols…, valueCol,
+    * cntCol). The only pass over the raw table. */
+  def compact(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              cntCol: String = "__cnt"): DataFrame =
+    df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as(cntCol))
+
+  /** Add cumulative multiset positions to a compacted table: each row covers
+    * the 0-based indices [startCol, endCol) of its group's
+    * sorted-with-frequency multiset. One per-group external sort, O(1)
+    * running state. */
+  def cumulate(compacted: DataFrame, groupCols: Seq[String], valueCol: String,
+               cntCol: String = "__cnt", startCol: String = "__start",
+               endCol: String = "__end"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    compacted
+      .withColumn(endCol, sum(col(cntCol)).over(w))
+      .withColumn(startCol, col(endCol) - col(cntCol))
+  }
+
+  /** Aggregate expression: the value whose index range covers multiset
+    * index `idx` (exactly one row per group matches). */
+  def valueAt(idx: Column, valueCol: String, startCol: String = "__start",
+              endCol: String = "__end"): Column =
+    max(when(col(startCol) <= idx && idx < col(endCol), col(valueCol)))
+
+  /** Spark `Percentile.getPercentile`'s interpolation, operation-for-
+    * operation: callers pass position p·(n−1), its floor/ceil as longs, and
+    * the two covering values. */
+  def interpolate(pos: Column, lo: Column, hi: Column, vLo: Column,
+                  vHi: Column): Column =
+    when(hi === lo || vLo === vHi, vLo)
+      .otherwise((hi.cast("double") - pos) * vLo + (pos - lo.cast("double")) * vHi)
+
+  /** Per-group quantile values over a [[cumulate]]d table: one row per
+    * group with one output column per requested (p, name). All quantiles
+    * come out of a single conditional aggregation pass. */
+  def quantilesOfCumulated(cum: DataFrame, groupCols: Seq[String],
+                           valueCol: String, ps: Seq[(Double, String)],
+                           cntCol: String = "__cnt", startCol: String = "__start",
+                           endCol: String = "__end"): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile required")
+    ps.foreach { case (p, _) =>
+      require(p >= 0.0 && p <= 1.0, s"quantile $p outside [0, 1]")
+    }
+    val tot = cum.groupBy(groupCols.map(col): _*).agg(max(col(endCol)).as("__n"))
+    val withIdx = ps.zipWithIndex.foldLeft(
+      cum.join(broadcast(tot), groupCols)) { case (d, ((p, _), i)) =>
+      d.withColumn(s"__p$i", (col("__n") - 1).cast("double") * lit(p))
+        .withColumn(s"__l$i", floor(col(s"__p$i")))
+        .withColumn(s"__h$i", ceil(col(s"__p$i")))
+    }
+    val aggs = ps.indices.flatMap { i =>
+      Seq(max(col(s"__p$i")).as(s"__p$i"),
+        max(col(s"__l$i")).as(s"__l$i"), max(col(s"__h$i")).as(s"__h$i"),
+        valueAt(col(s"__l$i"), valueCol, startCol, endCol).as(s"__vl$i"),
+        valueAt(col(s"__h$i"), valueCol, startCol, endCol).as(s"__vh$i"))
+    }
+    withIdx.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++ ps.zipWithIndex.map { case ((_, name), i) =>
+        interpolate(col(s"__p$i"), col(s"__l$i"), col(s"__h$i"),
+          col(s"__vl$i"), col(s"__vh$i")).as(name)
+      }: _*)
+  }
+
+  /** Convenience: compact + cumulate + select in one call, for callers that
+    * do not reuse the cumulative table. */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                ps: Seq[(Double, String)]): DataFrame =
+    quantilesOfCumulated(cumulate(compact(df, groupCols, valueCol), groupCols,
+      valueCol), groupCols, valueCol, ps)
+}
