@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the heap (-Xms == -Xmx): G1 otherwise grows and periodically
+  // uncommits the heap, and that mmap churn is measurably stall-prone under
+  // this host's sandboxed (gVisor) kernel. A fixed-size heap also makes
+  // bench reps comparable (no mid-run heap resizing).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
