@@ -628,6 +628,23 @@ object SparkEntry {
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
     }),
 
+    // Corpus-profile quantiles: exact per-class token-count percentiles via
+    // operators/ExactQuantiles (sort-based rank selection — no percentile
+    // UDAF hash map; see that operator's scaladoc). The 4-dp round absorbs
+    // the last-ulp difference between Spark's (1−f)·lo + f·hi and DuckDB's
+    // lo + (hi−lo)·f interpolation forms.
+    "text5_token_quantiles" -> ((s, dir) => {
+      import graft.operators.ExactQuantiles
+      val d = T(s, dir, "documents")
+        .select(expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+          .as("media_class"),
+          TF.tokenCount(col("text")).cast("double").as("n_tokens"))
+      ExactQuantiles.quantiles(d, Seq("media_class"), "n_tokens",
+          Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90"))
+        .select(col("media_class"), round(col("p10"), 4).as("p10"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
+    }),
+
     // Multimodal: metadata-only stats — payload column must be pruned from
     // the scan (meta travels separately from bytes).
     "mm1_media_meta_stats" -> ((s, dir) => {
@@ -1223,6 +1240,18 @@ object SparkEntry {
          |   (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
          |FROM c""".stripMargin
     },
+
+    "text5_token_quantiles" ->
+      """WITH t AS (SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_class,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS DOUBLE) AS n_tokens
+        |  FROM documents)
+        |SELECT media_class,
+        | round(quantile_cont(n_tokens, 0.1), 4) AS p10,
+        | round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+        | round(quantile_cont(n_tokens, 0.9), 4) AS p90
+        |FROM t GROUP BY media_class""".stripMargin,
 
     "mm1_media_meta_stats" ->
       """WITH m AS (
