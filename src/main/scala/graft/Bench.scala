@@ -32,6 +32,14 @@ object Bench {
     // without paying the full-suite wall time. Unset = all queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd or empty filter — a silently-empty suite would
+    // emit a plausible-looking zero-query JSON line
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
     val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>

@@ -220,6 +220,10 @@ object SparkEntry {
           sum(when(btw, col("l_extendedprice") * col("__cnt"))).as("__s1"),
           sum(when(btw, col("l_extendedprice") * col("l_extendedprice") * col("__cnt"))).as("__s2"),
           coalesce(sum(when(col("l_extendedprice") < col("__lo"), col("__cnt"))), lit(0L)).as("__b"))
+        // a group whose trim window admits no value must VANISH (the old
+        // filter-then-aggregate shape and the oracle both drop it), not
+        // surface as a null-stats row
+        .filter(col("__nt").isNotNull)
       val medIdx = m.select(col("l_returnflag"), col("__b"),
           ((col("__nt") - 1).cast("double") * lit(0.5)).as("__p50"))
         .withColumn("__l50", floor(col("__p50"))).withColumn("__h50", ceil(col("__p50")))

@@ -44,10 +44,15 @@ import org.apache.spark.sql.functions._
 object ExactQuantiles {
 
   /** Map-side-combinable compaction of raw rows to (groupCols…, valueCol,
-    * cntCol). The only pass over the raw table. */
+    * cntCol). The only pass over the raw table. NULL values are dropped
+    * here — `percentile` (and quantile_cont) ignore them, and a NULL that
+    * reached [[cumulate]] would sort first and occupy multiset indices.
+    * A group whose values are all NULL disappears entirely, exactly as it
+    * does under `percentile`. */
   def compact(df: DataFrame, groupCols: Seq[String], valueCol: String,
               cntCol: String = "__cnt"): DataFrame =
-    df.groupBy((groupCols :+ valueCol).map(col): _*)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as(cntCol))
 
   /** Add cumulative multiset positions to a compacted table: each row covers
@@ -89,7 +94,11 @@ object ExactQuantiles {
     ps.foreach { case (p, _) =>
       require(p >= 0.0 && p <= 1.0, s"quantile $p outside [0, 1]")
     }
-    val tot = cum.groupBy(groupCols.map(col): _*).agg(max(col(endCol)).as("__n"))
+    // totals from the frequency column, NOT max(endCol): this branch then
+    // uses no window output, so Catalyst prunes the window away and an
+    // unpersisted `cum` costs only ONE per-group sort (in the main join
+    // branch) — asserted by ExactQuantilesSpec's plan test
+    val tot = cum.groupBy(groupCols.map(col): _*).agg(sum(col(cntCol)).as("__n"))
     val withIdx = ps.zipWithIndex.foldLeft(
       cum.join(broadcast(tot), groupCols)) { case (d, ((p, _), i)) =>
       d.withColumn(s"__p$i", (col("__n") - 1).cast("double") * lit(p))

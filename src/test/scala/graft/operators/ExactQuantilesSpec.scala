@@ -78,6 +78,20 @@ class ExactQuantilesSpec extends SparkSpecBase {
     val plan = ExactQuantiles.quantiles(df, Seq("g"), "v", Seq(0.5 -> "q050"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ObjectHashAggregate"), "percentile-style object agg leaked in")
-    assert(plan.contains("Window"), "expected the running-count window")
+    // the totals branch must not re-instantiate the window (Catalyst prunes
+    // it once totals come from the frequency column), so an UNPERSISTED cum
+    // costs exactly one per-group sort — the operator's headline property
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 1, s"expected exactly 1 Window node, found $windows:\n$plan")
+  }
+
+  test("NULL values are ignored, matching percentile") {
+    val df = Seq("a" -> Some(1.0), "a" -> None, "a" -> Some(2.0),
+      "a" -> Some(3.0), "a" -> None, "b" -> None).toDF("g", "v")
+    val got = ExactQuantiles.quantiles(df, Seq("g"), "v",
+        Seq(0.0 -> "q0", 0.5 -> "q50", 1.0 -> "q100"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // group b (all NULL) vanishes, exactly as under percentile
+    assert(got == Map("a" -> ((1.0, 2.0, 3.0))))
   }
 }
