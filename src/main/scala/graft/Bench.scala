@@ -27,6 +27,7 @@ object Bench {
     // min-max spread), so round-over-round comparisons aren't at the mercy
     // of this host's ±30-40% single-run noise. Default 1 = driver behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     // SPARK_GRAFT_BENCH_ONLY=a10_percentile_stats,knn3_ivf_top3 restricts the
     // suite to a comma-separated subset — for profiling a single query
     // without paying the full-suite wall time. Unset = all queries.
@@ -42,38 +43,52 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
-    val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+    // a failed rep must not abort the suite, but it must not pollute the
+    // stats either: its time-to-failure is recorded as None (excluded from
+    // median/spread — otherwise a query that crashes fast in 2 of 3 reps
+    // reports its crash latency as a dramatic "improvement") and the name is
+    // surfaced both on stderr and in a "failed" key of the JSON line
+    val samples: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        // a failed query must not abort the suite, but it must not silently
-        // report a near-zero time either — flag it on stderr (the driver
-        // parses only the stdout JSON line)
-        try run(SparkEntry.queries(name))
-        catch {
-          case t: Throwable =>
-            System.err.println(s"[bench] QUERY FAILED: $name — ${t.getClass.getSimpleName}: ${t.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { run(SparkEntry.queries(name)); true }
+          catch {
+            case t: Throwable =>
+              System.err.println(s"[bench] QUERY FAILED: $name — ${t.getClass.getSimpleName}: ${t.getMessage}")
+              false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = names.map(n => n -> median(samples.map(_(n))))
+    // a query with zero successful reps reports -1.0 — impossible as a real
+    // time, so downstream comparisons can't mistake it for a fast query
+    val results = names.map { n =>
+      val ok = samples.flatMap(_(n))
+      n -> (if (ok.isEmpty) -1.0 else median(ok))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = names.filter(n => samples.exists(_(n).isEmpty))
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val spread =
       if (reps <= 1) ""
       else {
         val sp = names.map { n =>
-          val xs = samples.map(_(n))
-          s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
+          val xs = samples.flatMap(_(n))
+          if (xs.isEmpty) s"\"" + n + "\":[-1.0,-1.0]"
+          else s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
         }.mkString("{", ",", "}")
         s""","reps":$reps,"spread":$sp"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$spread}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$spread}""")
     spark.stop()
   }
 }

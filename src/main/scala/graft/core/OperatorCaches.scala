@@ -30,6 +30,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
  *
  * [[releaseAll]] is the manual escape hatch for results that are built but
  * never materialized.
+ *
+ * CONTRACT: release fires only for materializations that go through a
+ * Dataset/DataFrame action (write, collect, count, … — anything routed via
+ * `withAction`, which posts the QueryExecutionListener event). A result
+ * materialized through `.rdd` (e.g. fed into
+ * [[graft.operators.IdAllocator.sequentialId]]'s zipWithIndex) emits no
+ * such event AND severs plan lineage, so its entry stays pending forever —
+ * callers on that path must either persist the result themselves and call
+ * [[releaseAll]], or materialize once through a Dataset action first.
+ * Monitor with [[pending]].
  */
 object OperatorCaches {
 
@@ -51,6 +61,10 @@ object OperatorCaches {
   def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
     if (disabled) return result
     val spark = result.sparkSession
+    if (spark.sparkContext.isStopped) return result
+    // evict registries of stopped sessions so a long-lived driver cycling
+    // newSession()s does not pin every dead session (and its entries) forever
+    registries.keySet.removeIf(s => s.sparkContext.isStopped)
     val list = registries.computeIfAbsent(spark, { s =>
       s.listenerManager.register(listener(s))
       java.util.Collections.synchronizedList(new java.util.ArrayList[Entry]())

@@ -142,6 +142,7 @@ object Dedup {
         .select(col("node"), least(col("node"), col("__m")).as("component")))
     var iter = 0
     var converged = false
+    var broadcastLookup = false
     while (!converged && iter < maxIterations) {
       iter += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
@@ -154,14 +155,17 @@ object Dedup {
       // the giant-component hot key never shuffles; otherwise join directly
       // and let AQE's skew join (on in GraftSession) split hot partitions.
       // The probe is one HLL pass over the checkpointed labels — no shuffle
-      // of the n rows.
+      // of the n rows — and stops for good on its first hit: distinct
+      // components only ever MERGE (every update is a least() of existing
+      // labels), so the live count is monotonically non-increasing and the
+      // decision can never flip back.
       val lbl2 = labels.select(col("node").as("__c"), col("component").as("__cc"))
-      val liveApprox =
-        if (broadcastComponentCap <= 0) Long.MaxValue
-        else labels.agg(approx_count_distinct(col("component"), 0.05))
-          .first().getLong(0)
+      if (!broadcastLookup && broadcastComponentCap > 0) {
+        broadcastLookup = labels.agg(approx_count_distinct(col("component"), 0.05))
+          .first().getLong(0) <= broadcastComponentCap
+      }
       val lookup =
-        if (liveApprox <= broadcastComponentCap)
+        if (broadcastLookup)
           broadcast(labels.select(col("component").as("__c")).distinct()
             .join(lbl2, Seq("__c")))
         else lbl2

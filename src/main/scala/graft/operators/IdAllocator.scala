@@ -39,6 +39,8 @@ object IdAllocator {
     // `order` may reference the old idCol values (re-numbering keyed by the
     // previous id) — the old column is carried through the sort and removed
     // from the rows only when the new id is appended.
+    require(df.schema.fieldNames.count(_ == idCol) <= 1,
+      s"input has multiple columns named '$idCol' — deduplicate before allocating")
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val oldIdx = sorted.schema.fieldNames.indexOf(idCol)
     val indexed: RDD[Row] = sorted.rdd.zipWithIndex().map { case (row, idx) =>
@@ -75,7 +77,10 @@ object IdAllocator {
     // a key list that CONTAINS idCol (dense re-basing keyed by the old id):
     // the old column is renamed aside for the keying, then dropped.
     val clash = keys.contains(idCol)
-    val tmp = s"__old_$idCol"
+    // collision-free scratch name: never silently shadow (or later drop) a
+    // genuine input column
+    val tmp = Iterator.from(0).map(i => s"__old_$idCol" + ("_" * i))
+      .find(n => !df.columns.contains(n)).get
     val base =
       if (clash) df.withColumnRenamed(idCol, tmp)
       else if (df.columns.contains(idCol)) df.drop(idCol)
@@ -85,8 +90,8 @@ object IdAllocator {
     val keyed = sequentialId(distinctKeys, keyNames.map(col), idCol, startAt)
     val renamed = keyNames.foldLeft(keyed)((d, k) => d.withColumnRenamed(k, s"__k_$k"))
     val cond = keyNames.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-    base.join(renamed, cond, "inner").drop(keyNames.map(k => s"__k_$k"): _*)
-      .drop(tmp)
+    val joined = base.join(renamed, cond, "inner").drop(keyNames.map(k => s"__k_$k"): _*)
+    if (clash) joined.drop(tmp) else joined
   }
 
   /** Mint ids starting after the current maximum of `existingIds` — the
