@@ -120,6 +120,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out == Set(("y", 1L), ("w", 1L), ("x", 2L), ("z", 2L)))
   }
 
+  test("IdAllocator.denseKeyId preserves a genuine __old_<id> input column") {
+    // the scratch name for the clash-rename must never collide with (and
+    // silently drop) a real column
+    val df = Seq((30L, "legacy-a", "x"), (10L, "legacy-b", "y"))
+      .toDF("id", "__old_id", "v")
+    val out = IdAllocator.denseKeyId(df, Seq("id"), "id")
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[Long]("id"),
+        r.getAs[String]("__old_id"))).toSet
+    assert(out == Set(("y", 1L, "legacy-b"), ("x", 2L, "legacy-a")))
+  }
+
+  test("IdAllocator.sequentialId rejects ambiguous duplicate id columns up front") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val twoIds = df.select(col("id"), col("id"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      IdAllocator.sequentialId(twoIds, Seq(col("v")), "id")
+    }
+    assert(e.getMessage.contains("multiple columns named"))
+  }
+
   test("Salting.saltedAggregate matches the direct aggregation on a skewed key") {
     // one hot key with 5000 rows, many cold keys
     val df = ((1 to 5000).map(_ => ("hot", 1.0)) ++ (1 to 200).map(i => (s"cold$i", 2.0)))
