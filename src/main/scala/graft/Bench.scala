@@ -48,7 +48,7 @@ object Bench {
     // median/spread — otherwise a query that crashes fast in 2 of 3 reps
     // reports its crash latency as a dramatic "improvement") and the name is
     // surfaced both on stderr and in a "failed" key of the JSON line
-    val samples: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>
+    def oneRep(): Map[String, Option[Double]] =
       names.map { name =>
         val t0 = System.nanoTime()
         val ok =
@@ -60,7 +60,35 @@ object Bench {
           }
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
+    // Wave guard (see tools/WaveGuard): every rep is bracketed by a timed j1
+    // sentinel; reps whose bracketing sentinels exceed 3× the session-best
+    // sentinel are discarded and re-run (host stall waves, BENCH_NOTES.md).
+    // SPARK_GRAFT_WAVE_GUARD=0 disables; SPARK_GRAFT_SENTINEL_BASELINE seeds
+    // a known-healthy sentinel seconds so a wave on the very first sentinel
+    // cannot inflate the anchor.
+    val waveGuardOn =
+      !sys.env.get("SPARK_GRAFT_WAVE_GUARD").exists(v => v == "0" || v == "false")
+    val sentinelName = "j1_revenue_by_nation"
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      run(SparkEntry.queries(sentinelName))
+      (System.nanoTime() - t0) / 1e9
     }
+    val outcome =
+      if (waveGuardOn)
+        graft.tools.WaveGuard.collect(
+          target = reps, maxAttempts = reps * 2 + 2, sentinel = sentinel _,
+          rep = oneRep _,
+          baselineFloor = sys.env.get("SPARK_GRAFT_SENTINEL_BASELINE").map(_.toDouble))
+      else
+        graft.tools.WaveGuard.Outcome((1 to reps).map(_ => oneRep()).toVector,
+          wavesDetected = 0, sentinelTimes = Vector(-1.0), contaminated = false)
+    if (outcome.wavesDetected > 0)
+      System.err.println(s"[bench] wave guard discarded ${outcome.wavesDetected} rep(s); " +
+        s"sentinel times: ${outcome.sentinelTimes.map(t => f"$t%.2f").mkString(", ")}" +
+        (if (outcome.contaminated) " — CONTAMINATED: healthy-rep budget exhausted, " +
+          "reporting wave-hit reps" else ""))
+    val samples: Seq[Map[String, Option[Double]]] = outcome.reps
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -88,7 +116,10 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","reps":$reps,"spread":$sp"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$spread}""")
+    val wave =
+      if (!waveGuardOn) ""
+      else s""","waves_detected":${outcome.wavesDetected},"wave_contaminated":${outcome.contaminated},"sentinel_baseline_s":${outcome.baseline}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$spread$wave}""")
     spark.stop()
   }
 }

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Discard/retry policy of the bench wave guard — pure bookkeeping, timers
+  * injected, no Spark. Scenarios mirror the documented host behavior
+  * (BENCH_NOTES.md "Host instability caveat"): healthy ≈1.2 s sentinels,
+  * wave-hit sentinels 30-170 s. Note the bracket semantics: one wave
+  * landing on the sentinel BETWEEN two reps dirties both (its closing and
+  * the next one's opening bracket) — correct, since the wave may overlap
+  * either rep's execution. */
+class WaveGuardSpec extends AnyFunSuite {
+
+  /** Replays scripted sentinel times; reps return their 1-based attempt
+    * number so the test can see which attempts were kept. */
+  private def run(sentinels: Seq[Double], target: Int, maxAttempts: Int,
+                  floor: Option[Double] = None) = {
+    val sIt = sentinels.iterator
+    var attempt = 0
+    WaveGuard.collect[Int](target, maxAttempts,
+      sentinel = () => sIt.next(),
+      rep = () => { attempt += 1; attempt },
+      baselineFloor = floor)
+  }
+
+  test("healthy session: all reps kept, zero waves") {
+    val o = run(Seq(1.2, 1.3, 1.25, 1.2), target = 3, maxAttempts = 8)
+    assert(o.reps == Vector(1, 2, 3))
+    assert(o.wavesDetected == 0 && !o.contaminated)
+    assert(o.baseline == 1.2)
+  }
+
+  test("mid-session wave discards the reps it brackets, retries recover") {
+    // the 42 s sentinel closes rep 2 AND opens rep 3: both discarded
+    val o = run(Seq(1.2, 1.3, 42.0, 1.25, 1.2, 1.3), target = 3, maxAttempts = 8)
+    assert(o.reps == Vector(1, 4, 5))
+    assert(o.wavesDetected == 2 && !o.contaminated)
+  }
+
+  test("wave on the bootstrap sentinel discards rep 1 once health returns") {
+    // first sentinel wave-hit (40 s): rep 1's opening bracket is dirty even
+    // though its closing sentinel (1.2 s) is clean — the healthy closing
+    // sentinel lowers the anchor and exposes the opening one
+    val o = run(Seq(40.0, 1.2, 1.3, 1.2), target = 2, maxAttempts = 8)
+    assert(o.reps == Vector(2, 3))
+    assert(o.wavesDetected == 1 && !o.contaminated)
+  }
+
+  test("a wave plateau self-anchors without a floor; the seeded floor keeps it honest") {
+    // every early sentinel lands in the same ≈40 s plateau: relative-only
+    // anchoring would accept rep 1 (40 ≈ 41 ≈ anchor 40); the seeded
+    // known-healthy floor (1.2 s) keeps the threshold absolute enough to
+    // reject until the host actually recovers
+    val plateau = Seq(40.0, 41.0, 1.3, 1.2)
+    val unfloored = run(plateau, target = 1, maxAttempts = 8)
+    assert(unfloored.reps == Vector(1), "plateau self-anchor accepts the wave-hit rep")
+    val floored = run(plateau, target = 1, maxAttempts = 8, floor = Some(1.2))
+    assert(floored.reps == Vector(3))
+    assert(floored.wavesDetected == 2 && !floored.contaminated)
+  }
+
+  test("exhausted attempt budget falls back to wave-hit reps, flagged contaminated") {
+    val o = run(Seq(1.2, 40.0, 41.0, 39.0, 40.0), target = 3, maxAttempts = 4)
+    assert(o.reps.size == 4, "contaminated fallback must surface every attempted rep")
+    assert(o.wavesDetected == 4 && o.contaminated)
+  }
+
+  test("contaminated fallback leads with the clean reps it did collect") {
+    // reps 1-4 bracket-dirty, rep 5 clean, budget 5 < target 3 + waves
+    val o = run(Seq(1.2, 40.0, 41.0, 40.5, 1.25, 1.3), target = 3, maxAttempts = 5)
+    assert(o.contaminated)
+    assert(o.reps.head == 5, "clean reps must lead the fallback")
+    assert(o.reps.size == 5 && o.wavesDetected == 4)
+  }
+
+  test("relative threshold adapts to the sf in use (no absolute seconds)") {
+    // sf0.01 sentinel ≈0.3 s: a 1.2 s sentinel (healthy at sf0.1!) is a
+    // 4× excursion there and must trip
+    val o = run(Seq(0.3, 0.31, 1.2, 0.3, 0.32), target = 2, maxAttempts = 8)
+    assert(o.reps == Vector(1, 4))
+    assert(o.wavesDetected == 2)
+  }
+}
