@@ -31,22 +31,37 @@ import org.apache.spark.sql.util.QueryExecutionListener
  * [[releaseAll]] is the manual escape hatch for results that are built but
  * never materialized.
  *
- * CONTRACT: release fires only for materializations that go through a
- * Dataset/DataFrame action (write, collect, count, … — anything routed via
- * `withAction`, which posts the QueryExecutionListener event). A result
- * materialized through `.rdd` (e.g. fed into
- * [[graft.operators.IdAllocator.sequentialId]]'s zipWithIndex) emits no
- * such event AND severs plan lineage, so its entry stays pending forever —
- * callers on that path must either persist the result themselves and call
- * [[releaseAll]], or materialize once through a Dataset action first.
- * Monitor with [[pending]].
+ * CONTRACT (verified on Spark 4.1.2, pinned by `OperatorCachesSpec`):
+ * release fires for materializations that post a QueryExecutionListener
+ * event — every Dataset/DataFrame action (write, collect, count, …), and,
+ * on Spark 4.x, also the `.rdd` CONVERSION itself (the `Dataset.rdd` lazy
+ * val posts its own event when forced). Two consequences:
+ *   - No leak on the `.rdd` path (e.g.
+ *     [[graft.operators.IdAllocator.sequentialId]]'s zipWithIndex): the
+ *     entry is released at conversion time.
+ *   - That release happens BEFORE the caller's RDD job runs, so the job
+ *     recomputes the intermediates instead of reading their cache — a perf
+ *     cost only, never a correctness one (unpersist is always safe).
+ * The genuine leak is a result that is NEVER materialized: built,
+ * registered, then discarded without any action or `.rdd` force. Its entry
+ * stays pending until [[releaseAll]]. Monitor with [[pending]]; [[owned]]
+ * warns once per session past [[PendingWarnThreshold]].
  */
 object OperatorCaches {
 
   private final case class Entry(result: LogicalPlan, intermediates: Seq[DataFrame])
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Pending-entry count above which [[owned]] logs the one-per-session
+    * leak warning (see [[pendingWarned]]). */
+  val PendingWarnThreshold = 8
+
   private val registries =
     new ConcurrentHashMap[SparkSession, java.util.List[Entry]]()
+
+  // sessions already warned about pending growth — warn once, not per call
+  private val warned = ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Ops kill-switch: `SPARK_GRAFT_DISABLE_CACHE_LIFECYCLE=1` turns [[owned]]
     * into a no-op (intermediates stay persisted until session end — the
@@ -62,16 +77,36 @@ object OperatorCaches {
     if (disabled) return result
     val spark = result.sparkSession
     if (spark.sparkContext.isStopped) return result
-    // evict registries of stopped sessions so a long-lived driver cycling
-    // newSession()s does not pin every dead session (and its entries) forever
+    // Evict registries whose CONTEXT has stopped. Note `isStopped` is
+    // per-SparkContext, not per-session: sessions minted via newSession()
+    // share one context, so this only reclaims entries across full context
+    // restarts — a driver cycling newSession()s over one live context keeps
+    // each session's registry until that session's own results materialize
+    // (or releaseAll is called). The pending-growth warning below is the
+    // monitor for that case.
     registries.keySet.removeIf(s => s.sparkContext.isStopped)
+    warned.removeIf(s => s.sparkContext.isStopped)
     val list = registries.computeIfAbsent(spark, { s =>
       s.listenerManager.register(listener(s))
       java.util.Collections.synchronizedList(new java.util.ArrayList[Entry]())
     })
     list.add(Entry(result.queryExecution.analyzed, intermediates))
+    if (list.size() > PendingWarnThreshold && warned.add(spark)) {
+      log.warn(
+        s"OperatorCaches: ${list.size()} registrations pending release for this " +
+        "session — results are being built but never materialized (no " +
+        "Dataset/DataFrame action and no .rdd force posts a " +
+        "QueryExecutionListener event for them; see OperatorCaches scaladoc " +
+        "CONTRACT). Call OperatorCaches.releaseAll(spark) to unpersist, or " +
+        "materialize each result once.")
+    }
     result
   }
+
+  /** Whether the one-per-session pending-growth warning has fired (visible
+    * for specs/ops). Reset by [[releaseAll]] so a session that recovers can
+    * warn again on a fresh leak. */
+  def pendingWarned(spark: SparkSession): Boolean = warned.contains(spark)
 
   /** How many registrations are still waiting for their result to
     * materialize (visible for specs/ops). */
@@ -88,6 +123,7 @@ object OperatorCaches {
       val it = list.iterator()
       while (it.hasNext) { it.next().intermediates.foreach(_.unpersist(false)); it.remove() }
     }
+    warned.remove(spark)
   }
 
   private def listener(spark: SparkSession): QueryExecutionListener =

@@ -64,4 +64,45 @@ class OperatorCachesSpec extends SparkSpecBase {
     OperatorCaches.releaseAll(spark)
     assert(OperatorCaches.pending(spark) === 0)
   }
+
+  test(".rdd conversion releases entries (Spark 4.x posts the event at force time)") {
+    // Pins the Spark-4.1 behavior the CONTRACT scaladoc documents: the
+    // Dataset.rdd lazy val posts its own QueryExecutionListener event when
+    // forced, so the IdAllocator zipWithIndex path does NOT leak — but the
+    // release lands BEFORE the caller's RDD job runs (recompute, not reuse).
+    // A Spark upgrade changing either half should fail here first.
+    import spark.implicits._
+    OperatorCaches.releaseAll(spark)
+    val inter = Seq(1).toDF("x").persist()
+    inter.count()
+    val res = OperatorCaches.owned(inter.select((col("x") + 1).as("y")), Seq(inter))
+    assert(OperatorCaches.pending(spark) === 1)
+    val rdd = res.rdd // conversion only — no RDD action yet
+    assert(await(OperatorCaches.pending(spark) == 0),
+      ".rdd force did not post the release event — Spark behavior changed? " +
+        "Re-verify the OperatorCaches CONTRACT scaladoc")
+    assert(rdd.count() === 1L, "released result must still recompute correctly")
+  }
+
+  test("never-materialized results trip the pending-growth warning once") {
+    import spark.implicits._
+    OperatorCaches.releaseAll(spark)
+    assert(!OperatorCaches.pendingWarned(spark))
+    val n = OperatorCaches.PendingWarnThreshold + 1
+    (1 to n).foreach { i =>
+      val inter = Seq(i).toDF("x").persist()
+      inter.count()
+      // built and registered, then discarded without any action or .rdd
+      // force — the genuine CONTRACT leak
+      OperatorCaches.owned(inter.select((col("x") + i).as("y")), Seq(inter))
+    }
+    assert(OperatorCaches.pending(spark) === n,
+      "unmaterialized results should stay pending")
+    assert(OperatorCaches.pendingWarned(spark),
+      "pending-growth warning did not fire past the threshold")
+    OperatorCaches.releaseAll(spark)
+    assert(OperatorCaches.pending(spark) === 0)
+    assert(!OperatorCaches.pendingWarned(spark),
+      "releaseAll should reset the warning so a fresh leak warns again")
+  }
 }
