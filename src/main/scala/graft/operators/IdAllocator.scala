@@ -88,9 +88,16 @@ object IdAllocator {
     val keyNames = keys.map(k => if (clash && k == idCol) tmp else k)
     val distinctKeys = base.select(keyNames.map(col): _*).distinct()
     val keyed = sequentialId(distinctKeys, keyNames.map(col), idCol, startAt)
-    val renamed = keyNames.foldLeft(keyed)((d, k) => d.withColumnRenamed(k, s"__k_$k"))
-    val cond = keyNames.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-    val joined = base.join(renamed, cond, "inner").drop(keyNames.map(k => s"__k_$k"): _*)
+    // collision-free rename prefix, same discipline as `tmp` above: a genuine
+    // input column named "__k_<key>" must neither make the join condition
+    // ambiguous nor be swept up by the final drop, and no scratch name may
+    // shadow the freshly minted idCol on the keyed side
+    val kPrefix = Iterator.from(0).map(i => "__k" + ("_" * (i + 1)))
+      .find(p => keyNames.forall(k =>
+        !base.columns.contains(p + k) && p + k != idCol)).get
+    val renamed = keyNames.foldLeft(keyed)((d, k) => d.withColumnRenamed(k, kPrefix + k))
+    val cond = keyNames.map(k => col(k) <=> col(kPrefix + k)).reduce(_ && _)
+    val joined = base.join(renamed, cond, "inner").drop(keyNames.map(kPrefix + _): _*)
     if (clash) joined.drop(tmp) else joined
   }
 

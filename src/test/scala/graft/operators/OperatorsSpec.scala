@@ -131,6 +131,27 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out == Set(("y", 1L, "legacy-b"), ("x", 2L, "legacy-a")))
   }
 
+  test("IdAllocator.denseKeyId preserves a genuine __k_<key> input column") {
+    // same bug class as __old_<id>: the join-side rename prefix must step
+    // past a real __k_<key> column instead of making the join condition
+    // ambiguous (AnalysisException pre-fix) or dropping the genuine column
+    val df = Seq(("a", "k1", 1), ("b", "k2", 2), ("a", "k3", 3))
+      .toDF("grp", "__k_grp", "v")
+    val out = IdAllocator.denseKeyId(df, Seq("grp"), "gid")
+      .collect().map(r => (r.getAs[Int]("v"), r.getAs[Long]("gid"),
+        r.getAs[String]("__k_grp"))).toSet
+    assert(out == Set((1, 1L, "k1"), (2, 2L, "k2"), (3, 1L, "k3")))
+  }
+
+  test("IdAllocator.denseKeyId scratch prefix steps past an idCol collision") {
+    // minting an id literally named __k_<key> must not be shadowed by the
+    // rename of the key column on the keyed side
+    val df = Seq(("a", 1), ("b", 2), ("a", 3)).toDF("grp", "v")
+    val out = IdAllocator.denseKeyId(df, Seq("grp"), "__k_grp")
+      .collect().map(r => (r.getAs[Int]("v"), r.getAs[Long]("__k_grp"))).toSet
+    assert(out == Set((1, 1L), (3, 1L), (2, 2L)))
+  }
+
   test("IdAllocator.sequentialId rejects ambiguous duplicate id columns up front") {
     val df = Seq((1L, "a")).toDF("id", "v")
     val twoIds = df.select(col("id"), col("id"), col("v"))
