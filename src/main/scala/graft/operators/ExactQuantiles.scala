@@ -58,7 +58,15 @@ object ExactQuantiles {
   /** Add cumulative multiset positions to a compacted table: each row covers
     * the 0-based indices [startCol, endCol) of its group's
     * sorted-with-frequency multiset. One per-group external sort, O(1)
-    * running state. */
+    * running state.
+    *
+    * INVARIANT (required of `compacted`, guaranteed by [[compact]]): exactly
+    * one row per (group, value), no NULL values. Duplicate (group, value)
+    * rows would produce overlapping index ranges, and [[valueAt]]'s
+    * `max(when(...))` would then silently pick one of the overlapping rows —
+    * wrong quantiles with no error. Callers building the table by hand
+    * (e.g. from a pre-aggregated frequency column) must groupBy+sum to one
+    * row per value first. */
   def cumulate(compacted: DataFrame, groupCols: Seq[String], valueCol: String,
                cntCol: String = "__cnt", startCol: String = "__start",
                endCol: String = "__end"): DataFrame = {
@@ -85,7 +93,14 @@ object ExactQuantiles {
 
   /** Per-group quantile values over a [[cumulate]]d table: one row per
     * group with one output column per requested (p, name). All quantiles
-    * come out of a single conditional aggregation pass. */
+    * come out of a single conditional aggregation pass.
+    *
+    * `cum` must satisfy [[cumulate]]'s invariant: one row per (group,
+    * value) with contiguous non-overlapping [startCol, endCol) ranges and
+    * `sum(cntCol)` equal to the group's multiset size. A table that
+    * violates it (duplicate values, hand-built ranges that overlap or gap)
+    * yields wrong quantiles silently — [[valueAt]] has no way to detect
+    * which of several covering rows is authoritative. */
   def quantilesOfCumulated(cum: DataFrame, groupCols: Seq[String],
                            valueCol: String, ps: Seq[(Double, String)],
                            cntCol: String = "__cnt", startCol: String = "__start",
