@@ -636,7 +636,14 @@ object SparkEntry {
     // operators/ExactQuantiles (sort-based rank selection — no percentile
     // UDAF hash map; see that operator's scaladoc). The 4-dp round absorbs
     // the last-ulp difference between Spark's (1−f)·lo + f·hi and DuckDB's
-    // lo + (hi−lo)·f interpolation forms.
+    // lo + (hi−lo)·f interpolation forms. RESIDUAL RISK, accepted: round()
+    // is a knife-edge equivalence, not a tolerance — an interpolated value
+    // landing within 1 ulp of a .00005 rounding boundary would round apart
+    // and fail the hash compare. With integer token counts and these p's the
+    // interpolants are exact dyadic fractions (f ∈ {0, .1, .2, ..., .9}
+    // against integer lo/hi gaps), far from any boundary; if this query ever
+    // moves to fractional inputs, switch the check to a tolerance compare in
+    // local_verify instead of widening the round.
     "text5_token_quantiles" -> ((s, dir) => {
       import graft.operators.ExactQuantiles
       val d = T(s, dir, "documents")
@@ -704,7 +711,14 @@ object SparkEntry {
     // making the split a pure function of (data, seed) independent of scan
     // layout. That turns the former rows-only check into a frozen sf0.01
     // snapshot (SnapshotOracleSpec); cross-JVM stability verified before
-    // freezing.
+    // freezing. SPARK-VERSION ASSUMPTION: the frozen hash additionally
+    // depends on Spark internals pinned as of Spark 4.1 — Murmur3 hash
+    // partitioning of c_custkey, randomSplit's per-partition XORShiftRandom
+    // sampling seeded by (seed + partitionIndex), and the pre-split
+    // sortWithinPartitions order. If a Spark upgrade ever fails ONLY this
+    // snapshot (rows still 2, train+test still summing to the table count),
+    // suspect a change in one of those three internals and re-freeze —
+    // don't hunt for a logic bug here.
     "s10_random_split" -> ((s, dir) => {
       val Array(train, test) = T(s, dir, "customer")
         .repartition(4, col("c_custkey"))
