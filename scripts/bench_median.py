@@ -17,6 +17,15 @@ Seed a known-healthy sentinel time via SPARK_GRAFT_SENTINEL_BASELINE
 (seconds) so a wave covering session start can't inflate the anchor;
 healthy j1 at sf0.1 on this host is ~1.2-1.5s.
 
+Degraded-window check (wrapper-side): the 3x sentinel threshold catches
+stall WAVES but not sustained sub-threshold degradation (host uniformly
+1.5-2x slow — observed 2026-08-13: every query up ~60%, sentinels never
+tripping). The suite itself times the sentinel query, so after the run
+the wrapper compares the in-suite j1 median against the session-best
+sentinel: a ratio > 1.6 means the kept reps ran materially slower than
+the host's demonstrated-healthy floor — exit 4, do not commit the table.
+(The sentinel floor itself proves a healthy window existed; re-run.)
+
 Process hygiene: sbt (and its forked bench JVM) runs in its own process
 group, killed on exit/interrupt — a killed wrapper must not leave an
 orphan JVM corrupting the next run's zinc state.
@@ -77,6 +86,14 @@ def main():
         sys.stderr.write("WAVE-CONTAMINATED RUN: healthy-rep budget exhausted; "
                          "do NOT commit this table as the round's medians.\n")
         sys.exit(3)
+    base = d.get("sentinel_baseline_s")
+    j1 = d["queries"].get("j1_revenue_by_nation")
+    if base and j1 and j1 / base > 1.6:
+        sys.stderr.write(
+            f"DEGRADED WINDOW: in-suite j1 median {j1:.2f}s is "
+            f"{j1 / base:.2f}x the session-best sentinel {base:.2f}s — kept "
+            "reps ran on a uniformly slowed host; do NOT commit this table.\n")
+        sys.exit(4)
 
 
 if __name__ == "__main__":
