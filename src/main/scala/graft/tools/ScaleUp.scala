@@ -72,15 +72,23 @@ object ScaleUp {
       if (tables.contains(t)) read(t).agg(max(col(c))).head.getLong(0) + 1 else 0L
     val orderDomain = math.max(maxOf("orders", "o_orderkey"), maxOf("lineitem", "l_orderkey"))
     val custDomain = math.max(maxOf("customer", "c_custkey"), maxOf("orders", "o_custkey"))
-    val nPart = if (tables.contains("part")) read("part").count() else 1L
-    val nSupp = if (tables.contains("supplier")) read("supplier").count() else 1L
+    // dimension key domains are [min, min + count) — the testdata keys are
+    // contiguous but NOT guaranteed 1-based (sf0.001 uses 0-based keys), so
+    // cycling must anchor on the observed min, not assume TPC-H's 1..n
+    def domainOf(t: String, c: String): (Long, Long) =
+      if (tables.contains(t)) {
+        val r = read(t).agg(min(col(c)), count(lit(1))).head
+        (r.getLong(0), r.getLong(1))
+      } else (0L, 1L)
+    val (minPart, nPart) = domainOf("part", "p_partkey")
+    val (minSupp, nSupp) = domainOf("supplier", "s_suppkey")
 
     for (t <- tables.sorted) {
       val df = read(t)
       val out = t match {
         case "documents"  => replicate(df, n)(documentsReplica(df))
         case "embeddings" => replicate(df, n)(embeddingsReplica(df))
-        case "lineitem"   => replicate(df, n)(lineitemReplica(df, orderDomain, nPart, nSupp))
+        case "lineitem"   => replicate(df, n)(lineitemReplica(df, orderDomain, minPart, nPart, minSupp, nSupp))
         case "orders"     => replicate(df, n)(ordersReplica(df, orderDomain, custDomain))
         case "customer"   => replicate(df, n)(customerReplica(df, custDomain))
         case _            => df // dimensions stay dimension-sized
@@ -113,12 +121,12 @@ object ScaleUp {
       .withColumn("embedding", bump)
   }
 
-  private def lineitemReplica(df: DataFrame, orderDomain: Long, nPart: Long,
-                              nSupp: Long)(k: Int): DataFrame =
+  private def lineitemReplica(df: DataFrame, orderDomain: Long, minPart: Long,
+                              nPart: Long, minSupp: Long, nSupp: Long)(k: Int): DataFrame =
     df.withColumn("l_orderkey", col("l_orderkey") + lit(orderDomain * k))
       // cycle FKs within the (unscaled) dimension domains so joins stay valid
-      .withColumn("l_partkey", pmod(col("l_partkey") - 1 + lit(k * 37), lit(nPart)) + 1)
-      .withColumn("l_suppkey", pmod(col("l_suppkey") - 1 + lit(k * 11), lit(nSupp)) + 1)
+      .withColumn("l_partkey", pmod(col("l_partkey") - lit(minPart) + lit(k * 37), lit(nPart)) + lit(minPart))
+      .withColumn("l_suppkey", pmod(col("l_suppkey") - lit(minSupp) + lit(k * 11), lit(nSupp)) + lit(minSupp))
       // grow the distinct-price domain ~N×, like a genuinely larger sf would
       .withColumn("l_extendedprice", round(col("l_extendedprice") + lit(k * 0.01), 2))
 
