@@ -62,6 +62,10 @@ def main():
         except ProcessLookupError:
             pass
         raise
+    log_path = os.environ.get("SPARK_GRAFT_STDERR_LOG")
+    if log_path:  # preserve forked-JVM stderr (e.g. [decision] lines)
+        with open(log_path, "w") as f:
+            f.write(stderr)
     line = next((l for l in stdout.splitlines()
                  if l.startswith('{"metric"')), None)
     if line is None:

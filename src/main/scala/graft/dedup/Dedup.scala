@@ -163,6 +163,8 @@ object Dedup {
       if (!broadcastLookup && broadcastComponentCap > 0) {
         broadcastLookup = labels.agg(approx_count_distinct(col("component"), 0.05))
           .first().getLong(0) <= broadcastComponentCap
+        if (broadcastLookup)
+          graft.core.Decisions.record("cc.broadcastCutoverIteration", iter)
       }
       val lookup =
         if (broadcastLookup)
@@ -187,6 +189,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIterations rounds — " +
           s"component diameter is on the order of 2^($maxIterations-2) or " +
           "more; raise maxIterations")
+    graft.core.Decisions.record("cc.iterations", iter)
     labels
   }
 
@@ -284,7 +287,10 @@ object Dedup {
         // half the stages. The emptiness probe is one map-side-combinable
         // hash-agg pass over the (persisted) index — negligible next to the
         // self-join it sizes, and `freqSet` feeds the guarded plan anyway.
-        if (freqSet.isEmpty) {
+        val splitActive = !freqSet.isEmpty
+        graft.core.Decisions.record(
+          s"ngram.frequentSplit(cap=$cap).active", splitActive)
+        if (!splitActive) {
           freqSet.unpersist()
           return graft.core.OperatorCaches.owned(
             finish(indexPairs(exploded, "__inter")), Seq(sh))

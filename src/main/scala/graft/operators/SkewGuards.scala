@@ -53,7 +53,10 @@ object SkewGuards {
                               cap: Int): (DataFrame, Boolean) = {
     val big = overCapKeys(df, keys, cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (big.isEmpty) { big.unpersist(); (df, false) }
+    val capActive = !big.isEmpty
+    graft.core.Decisions.record(
+      s"skewGuard(${keys.mkString("+")},cap=$cap).capActive", capActive)
+    if (!capActive) { big.unpersist(); (df, false) }
     else (graft.core.OperatorCaches.owned(
       df.join(broadcast(big), keys, "left_anti")
         .select(df.columns.map(col).toSeq: _*), Seq(big)), true)

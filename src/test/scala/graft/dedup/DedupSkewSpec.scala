@@ -151,4 +151,23 @@ class DedupSkewSpec extends SparkSpecBase {
       .filter { case (a, b) => a < nDup && b < nDup }
     assert(zeroDup == (1 until nDup).map(b => (0L, b.toLong)).toSet)
   }
+
+  test("Decisions records each adaptive choice at the moment it's taken") {
+    import spark.implicits._
+    graft.core.Decisions.clear()
+    // skewed corpus, low cap → guard active on the MinHash band buckets
+    MinHash.nearDuplicates(docs, "doc_id", col("text"),
+      threshold = 0.5, maxBucketSize = Some(5)).count()
+    // clean cap → split short-circuits to the plain plan
+    Dedup.ngramJaccardBlocked(docs, "doc_id", col("source"), col("text"),
+      n = 3, threshold = 0.2, maxShingleDocFreq = Some(10000)).count()
+    // tiny graph → CC broadcast cutover fires on round 1
+    Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("left_id", "right_id"), "left_id", "right_id").count()
+    val d = graft.core.Decisions.snapshot
+    assert(d.get("skewGuard(band_idx+band_hash,cap=5).capActive").contains("true"), d)
+    assert(d.get("ngram.frequentSplit(cap=10000).active").contains("false"), d)
+    assert(d.get("cc.broadcastCutoverIteration").contains("1"), d)
+    assert(d.contains("cc.iterations"), d)
+  }
 }
