@@ -422,10 +422,12 @@ object SparkEntry {
 
     // IVF approximate top-k with Lloyd-refined centroids — cell-bucketed
     // pair space, centroids broadcast; approximate → rows-only check (the
-    // exact-cosine kernel itself is oracled by knn1).
+    // exact-cosine kernel itself is oracled by knn1). nCells is auto-sized
+    // (≈√(2n)): a fixed cell count makes the cell self-join O(n²/k) — the
+    // sf10 scale run measured 812 s at k=16 vs ~linear after (BENCH_NOTES).
     "knn3_ivf_top3" -> ((s, dir) => {
       Knn.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
-        nCells = 16, nProbe = 2, kmeansIters = 2)
+        nProbe = 2, kmeansIters = 2)
     }),
 
     // §2.5 W1/W2: per-entity event order (row_number) + record rank (dense_rank).

@@ -42,16 +42,18 @@ object Knn {
     * over-cap probe is EAGER (runs at call time, see
     * [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]). */
   def cosineNearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double, dims: Int, planes: Int = 12,
+                           threshold: Double, dims: Int, planes: Int = 0,
                            tables: Int = 3,
                            maxBucketSize: Option[Int] = None): DataFrame = {
+    // planes = 0 (default): size the tables from the data — see [[autoPlanes]]
+    val pl = if (planes > 0) planes else autoPlanes(vecs, idCol)
     // limit = 0: each member pairs with the group minimum only — star edges
     // (emitted member→min, so normalize the order before the left<right cut).
     // Recovery only runs when a bucket actually exceeded the cap.
     val cands = (maxBucketSize match {
-      case None => lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
+      case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables)
       case Some(cap) =>
-        val (keyed, capped) = guardedKeyed(vecs, idCol, vecCol, dims, planes, tables, cap)
+        val (keyed, capped) = guardedKeyed(vecs, idCol, vecCol, dims, pl, tables, cap)
         val lsh = bucketPairs(keyed)
         if (!capped) lsh
         else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = 0)
@@ -79,6 +81,21 @@ object Knn {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Auto plane count targeting ~32-vector buckets: 2^planes ≈ n/32, clamped
+    * to [4, 24]. A FIXED plane count is the same scale trap as a fixed IVF
+    * cell count, in either direction: too few buckets for the corpus and the
+    * per-bucket self-join goes quadratic; too many and — with a bucket cap
+    * set — the AVERAGE bucket exceeds the cap, so the guard drops most of
+    * the corpus and recall collapses. One count() probe, driver-side, eager;
+    * recorded via [[graft.core.Decisions]]. */
+  private def autoPlanes(vecs: DataFrame, idCol: String): Int = {
+    val n = math.max(1L, vecs.select(col(idCol)).count())
+    val p = math.max(4, math.min(24,
+      math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+    graft.core.Decisions.record(s"lsh.autoPlanes(n=$n)", p)
+    p
   }
 
   /** (id, table_idx, bucket) hyperplane LSH keys under `tables` independent
@@ -171,13 +188,15 @@ object Knn {
     * (runs at call time, see
     * [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]). */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
-              planes: Int = 10, tables: Int = 4,
+              planes: Int = 0, tables: Int = 4,
               maxBucketSize: Option[Int] = None): DataFrame = {
+    // planes = 0 (default): size the tables from the data — see [[autoPlanes]]
+    val pl = if (planes > 0) planes else autoPlanes(vecs, idCol)
     // recovery only runs when a bucket actually exceeded the cap
     val cands = maxBucketSize match {
-      case None => lshCandidates(vecs, idCol, vecCol, dims, planes, tables)
+      case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables)
       case Some(cap) =>
-        val (keyed, capped) = guardedKeyed(vecs, idCol, vecCol, dims, planes, tables, cap)
+        val (keyed, capped) = guardedKeyed(vecs, idCol, vecCol, dims, pl, tables, cap)
         val lsh = bucketPairs(keyed)
         if (!capped) lsh
         else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k)).distinct()
@@ -239,11 +258,36 @@ object Knn {
    * Lloyd-refined with `kmeansIters` rounds); every vector is assigned to its
    * nearest centroid (broadcast join — the centroid table is tiny); queries
    * probe the `nProbe` nearest cells.
+   *
+   * `nCells = 0` (the default) sizes the index from the data: the two cost
+   * terms are the n·k full assignment and the ~2n²·nProbe/(k·nProbe) = 2n²/k
+   * cell self-join, so total work is minimized at k ≈ √(2n) — the classic
+   * IVF nlist sizing. A FIXED cell count is a scale trap: the cell join is
+   * O(n²/k), so 10× data at constant k costs 100× (measured: the sf10
+   * scale run in BENCH_NOTES.md, 812 s at k=16 for n=200k). The probe is
+   * one count() over the input (eager, driver-side, recorded via
+   * [[graft.core.Decisions]]); Lloyd training then runs on a deterministic
+   * hash-sample of ≤ max(8192, 8k) vectors — centroid quality needs a
+   * bounded sample, not the corpus — while the final cell assignment still
+   * covers every vector (inherent to IVF). Pass an explicit `nCells` to
+   * pin the historical behavior (train on ALL vectors, no sampling).
    */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-              nCells: Int = 16, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
+              nCells: Int = 0, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val centroids = kmeansCentroids(vecs, idCol, vecCol, nCells, kmeansIters)
+    val (cells, train) =
+      if (nCells > 0) (nCells, vecs)
+      else {
+        val n = v.count()
+        val auto = math.max(16, math.min(65536, math.ceil(math.sqrt(2.0 * n)).toInt))
+        graft.core.Decisions.record(s"ivf.autoNCells(n=$n)", auto)
+        val cap = math.max(8192L, 8L * auto)
+        val sampled =
+          if (n <= cap) vecs
+          else vecs.where(pmod(xxhash64(col(idCol)), lit(math.max(1L, n / cap))) === 0)
+        (auto, sampled)
+      }
+    val centroids = kmeansCentroids(train, idCol, vecCol, cells, kmeansIters)
     val assign = v.crossJoin(broadcast(centroids))
       .withColumn("__d", VectorFunctions.sqDist(col("__v"), col("__cv")))
     val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)

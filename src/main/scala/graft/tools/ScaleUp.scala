@@ -40,6 +40,13 @@ import org.apache.spark.sql.functions._
  *     dimensions grow sub-linearly and the joins against them stay
  *     broadcast-able, which is exactly the property under test.
  *
+ * Do NOT chain runs (sf0.1 →×10→ sf1 →×10→ "sf10"): the second pass's
+ * replica (0,k) and the first pass's replica (k,0) both suffix tokens with
+ * `_r<k>`, producing byte-identical document text across stages — ~1 exact
+ * cross-replica duplicate per doc in 10% of the corpus, which corrupts the
+ * near-dup pair-count linearity the generator exists to preserve. Reach a
+ * larger scale with a single bigger factor (e.g. FACTOR=100) instead.
+ *
  * Usage: SPARK_GRAFT_SCALE_SRC=/root/testdata/sf0.1 \
  *        SPARK_GRAFT_SCALE_DST=/tmp/graft-sf1 \
  *        SPARK_GRAFT_SCALE_FACTOR=10 sbt "runMain graft.tools.ScaleUp"

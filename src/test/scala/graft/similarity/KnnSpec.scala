@@ -53,6 +53,14 @@ class KnnSpec extends SparkSpecBase {
     assert(agree >= 95, s"IVF agreed on only $agree/100 top-1 neighbors")
   }
 
+  test("auto-sized IVF records its cell count (≈√2n, floor 16) and returns neighbors") {
+    graft.core.Decisions.clear()
+    val out = Knn.ivfTopK(vecs, "vec_id", "embedding", k = 1, nProbe = 2, kmeansIters = 2)
+    assert(out.count() > 0)
+    // 100 vectors → ceil(√200)=15 → clamped to the floor of 16
+    assert(graft.core.Decisions.snapshot.get("ivf.autoNCells(n=100)").contains("16"))
+  }
+
   // 40 byte-identical embeddings (a giant LSH bucket in every table) mixed
   // with the clustered corpus — the vector analog of DedupSkewSpec
   private lazy val withDups: DataFrame = {
