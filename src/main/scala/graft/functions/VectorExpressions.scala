@@ -306,3 +306,92 @@ private[graft] case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[L
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
+
+/**
+ * The `nProbe` nearest centroids for one vector, as an array of cell ids
+ * ordered nearest-first — the IVF assignment collapsed into ONE expression.
+ *
+ * The relational formulation (crossJoin every vector with k broadcast
+ * centroid rows, then rank with a window) materializes n·k rows and sorts
+ * them just to keep each vector's top nProbe: at n=200k, k=633 that is
+ * 1.3×10⁸ rows through a shuffle for a 4×10⁵-row answer. Here the centroid
+ * matrix rides along as a codegen reference object (like
+ * [[HyperplaneSignBits]]'s planes) and each row does k fused
+ * squared-distance loops plus an insertion into an nProbe-slot buffer —
+ * no join, no window, no intermediate rows.
+ *
+ * Semantics replicate the window formulation bit-for-bit:
+ * distances accumulate in element order exactly like [[SquaredDistance]],
+ * and on ties the EARLIER matrix row wins — callers must supply rows in
+ * ascending cell-id order to match `row_number over (dist asc, cell_id
+ * asc)`.
+ */
+private[graft] case class NearestCells(child: Expression, ids: Seq[Long],
+    cents: Seq[Seq[Double]], nProbe: Int) extends UnaryExpression {
+  import VectorExpressions._
+  require(ids.size == cents.size, "one id per centroid row")
+  require(nProbe >= 1, "nProbe must be >= 1")
+
+  override def prettyName: String = "vec_nearest_cells"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(prettyName, child)
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  private def isFloat: Boolean = elementType(child) == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    NearestCells.compute(a.asInstanceOf[ArrayData], centArr, idArr, nProbe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("nrCents", centArr, "double[][]")
+      val iRef = ctx.addReferenceObj("nrIds", idArr, "long[]")
+      // the selection kernel is one static JIT'd call per row — identical
+      // code to the interpreted path, loop cost dominated by k·dims flops
+      s"""
+         |${ev.value} = graft.functions.NearestCells.compute(
+         |  $a, $cRef, $iRef, $nProbe, $isFloat);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
+private[graft] object NearestCells {
+  /** Top-`np` (distance, id) selection over the centroid rows, nearest first;
+    * ties keep the earlier row. Shared by interpreted eval and codegen. */
+  def compute(x: ArrayData, cents: Array[Array[Double]], ids: Array[Long],
+              np: Int, isFloat: Boolean): ArrayData = {
+    val k = cents.length
+    val m = math.min(np, k)
+    val bestD = new Array[Double](math.max(m, 1))
+    val bestI = new Array[Long](math.max(m, 1))
+    var count = 0
+    var p = 0
+    while (p < k) {
+      val w = cents(p)
+      val n = math.min(x.numElements(), w.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xv - w(i)
+        acc += d * d
+        i += 1
+      }
+      var j = count
+      while (j > 0 && acc < bestD(j - 1)) j -= 1
+      if (j < m) {
+        var s = math.min(count, m - 1)
+        while (s > j) { bestD(s) = bestD(s - 1); bestI(s) = bestI(s - 1); s -= 1 }
+        bestD(j) = acc
+        bestI(j) = ids(p)
+        if (count < m) count += 1
+      }
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(bestI, count))
+  }
+}

@@ -39,6 +39,14 @@ object VectorFunctions {
   /** Squared Euclidean distance. */
   def sqDist(a: Column, b: Column): Column = c(SquaredDistance(e(a), e(b)))
 
+  /** The `nProbe` nearest centroid ids for each vector, nearest first —
+    * the IVF assignment as one codegen'd expression (no n×k join rows, no
+    * window sort). `ids`/`cents` must be aligned and in ascending-id order
+    * (tie on distance keeps the earlier row). */
+  def nearestCells(v: Column, ids: Seq[Long], cents: Seq[Seq[Double]],
+                   nProbe: Int): Column =
+    c(NearestCells(e(v), ids, cents, nProbe))
+
   /**
    * Sign bits of projections onto `planes` random hyperplanes, packed into a
    * long — the random-hyperplane LSH key for cosine similarity. Planes are

@@ -288,16 +288,43 @@ object Knn {
         (auto, sampled)
       }
     val centroids = kmeansCentroids(train, idCol, vecCol, cells, kmeansIters)
-    val assign = v.crossJoin(broadcast(centroids))
-      .withColumn("__d", VectorFunctions.sqDist(col("__v"), col("__cv")))
-    val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)
+    val np = math.max(nProbe, 1)
+    // Assignment: each vector's top-nProbe cells. Preferred shape is the
+    // fused NearestCells expression — centroids collected to the driver
+    // (they are broadcast-sized by construction) and shipped as a codegen
+    // reference, so assignment emits n·nProbe rows directly instead of
+    // ranking an n·k crossJoin under a window sort (measured: the n·k shape
+    // was knn3's dominant stage at sf10 — BENCH_NOTES "Scale evidence").
+    // Very large k·dims indexes (beyond comfortable task-reference size)
+    // keep the join+window shape, whose window is at least partitionable.
+    val dims = v.limit(1).select(size(col("__v"))).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val literalPath = cells.toLong * math.max(dims, 1) <= (4L << 20)
+    graft.core.Decisions.record(
+      s"ivf.assignment(cells=$cells,dims=$dims)",
+      if (literalPath) "literal" else "join")
     // one evaluation feeds both consumers: the top-nProbe assignment (a
     // superset of the r==1 membership) is persisted, so the Lloyd loop and
-    // the n×nCells assignment scoring run once, not once per consumer
-    val pruned = assign.withColumn("__r", row_number().over(wAssign))
-      .filter(col("__r") <= math.max(nProbe, 1))
-      .select(col("cell_id"), col("__id"), col("__v"), col("__r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // the assignment scoring run once, not once per consumer
+    val pruned = (if (literalPath) {
+      // ascending-id order is load-bearing: NearestCells breaks distance
+      // ties by matrix position, replicating (dist asc, cell_id asc)
+      val rows = centroids.orderBy(col("cell_id")).collect()
+      val ids = rows.map(_.getLong(0)).toSeq
+      val cents = rows.map(_.getSeq[Double](1)).toSeq
+      v.select(col("__id"), col("__v"),
+          posexplode(VectorFunctions.nearestCells(col("__v"), ids, cents, np))
+            .as(Seq("__p", "cell_id")))
+        .select(col("cell_id"), col("__id"), col("__v"),
+          (col("__p") + 1).cast("int").as("__r"))
+    } else {
+      val assign = v.crossJoin(broadcast(centroids))
+        .withColumn("__d", VectorFunctions.sqDist(col("__v"), col("__cv")))
+      val wAssign = Window.partitionBy(col("__id")).orderBy(col("__d").asc, col("cell_id").asc)
+      assign.withColumn("__r", row_number().over(wAssign))
+        .filter(col("__r") <= np)
+        .select(col("cell_id"), col("__id"), col("__v"), col("__r"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val members = pruned.filter(col("__r") === 1)
       .select(col("cell_id"), col("__id").as("neighbor_id"), col("__v").as("__nv"),
         VectorFunctions.l2Norm(col("__v")).as("__nn"))
