@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
  *  2. [[cumulate]] — a running-count window over the compacted table:
  *     per-group Tungsten external sort (spillable) + an O(1) running sum,
  *     against the `percentile` map's O(distinct) boxed heap state.
+ *     Parallelism boundary (measured, r6 sf10 scale run): the window
+ *     partitions by GROUP, so the sort parallelism is the group count —
+ *     a query with few groups and a huge per-group value domain (a10's
+ *     3 flags × ~9M synthetic distinct prices) runs the sort in that
+ *     many tasks. Still spillable and sub-linear end-to-end (the one
+ *     fact-table pass dominates), but if a real workload ever pairs
+ *     single-digit groups with ≥10⁸ distinct values per group, the next
+ *     step is range-partitioned prefix-sum ranking, not a bigger heap.
  *  3. [[quantilesOfCumulated]] — each requested quantile is "fetch the
  *     values covering multiset indices floor/ceil of p·(n−1)" — one
  *     conditional aggregation for all requested p at once.

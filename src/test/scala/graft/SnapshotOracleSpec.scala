@@ -52,11 +52,11 @@ class SnapshotOracleSpec extends SparkSpecBase {
 
   check("dedup3_simhash", "595b68781e2394fdaa44560d0ffd6578")
   // refrozen r6: lshTopK auto-sizes planes (≈log2(n/32) → 4 at sf0.01's
-  // n=200; was a fixed 10) — with a fixed plane count the average bucket
+  // n=500; was a fixed 10) — with a fixed plane count the average bucket
   // outgrows the cap at scale and the guard drops most of the corpus
   // (recall collapse); see BENCH_NOTES.md "Scale evidence"
   check("knn2_lsh_top3", "8aa356c2ce3f69c989aca92fbcc5592d")
-  // refrozen r6: ivfTopK auto-sizes nCells (≈√2n → 20 at sf0.01's n=200;
+  // refrozen r6: ivfTopK auto-sizes nCells (≈√2n → 32 at sf0.01's n=500;
   // was a fixed 16) after the sf10 scale run measured the fixed-k cell
   // join going quadratic — see BENCH_NOTES.md "Scale evidence"
   check("knn3_ivf_top3", "bc69ca7fde58e23e76e5ea173b12bd27")
