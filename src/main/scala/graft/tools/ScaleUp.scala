@@ -98,6 +98,7 @@ object ScaleUp {
         case "lineitem"   => replicate(df, n)(lineitemReplica(df, orderDomain, minPart, nPart, minSupp, nSupp))
         case "orders"     => replicate(df, n)(ordersReplica(df, orderDomain, custDomain))
         case "customer"   => replicate(df, n)(customerReplica(df, custDomain))
+        case "events"     => replicate(df, n)(eventsReplica(df))
         case _            => df // dimensions stay dimension-sized
       }
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -144,4 +145,17 @@ object ScaleUp {
 
   private def customerReplica(df: DataFrame, custDomain: Long)(k: Int): DataFrame =
     df.withColumn("c_custkey", col("c_custkey") + lit(custDomain * k))
+
+  /** Events scale like a fact table in the harness data (1k/10k/100k across
+    * sf0.001/0.01/0.1), so replicas offset BOTH ids: a larger scale factor
+    * means MORE USERS with the same per-user history shape — offsetting only
+    * event_id would instead concatenate N copies onto each existing user,
+    * inflating per-user session/window sizes the sessionization and
+    * sequence operators are measured on. Timestamps stay as-is. */
+  private def eventsReplica(df: DataFrame)(k: Int): DataFrame = {
+    val r = df.agg(max("event_id"), max("user_id")).head
+    val (eventDomain, userDomain) = (r.getLong(0) + 1, r.getLong(1) + 1)
+    df.withColumn("event_id", col("event_id") + lit(eventDomain * k))
+      .withColumn("user_id", col("user_id") + lit(userDomain * k))
+  }
 }

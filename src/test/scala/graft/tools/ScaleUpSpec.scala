@@ -37,10 +37,23 @@ class ScaleUpSpec extends SparkSpecBase {
   private def dstT(t: String) = spark.read.parquet(s"$dst/$t.parquet")
 
   test("fact tables replicate Nx; dimensions stay dimension-sized") {
-    for (t <- Seq("lineitem", "orders", "customer", "documents", "embeddings"))
+    for (t <- Seq("lineitem", "orders", "customer", "documents", "embeddings", "events"))
       assert(dstT(t).count() === srcT(t).count() * n, s"table $t")
-    for (t <- Seq("region", "nation", "part", "supplier", "events"))
+    for (t <- Seq("region", "nation", "part", "supplier"))
       assert(dstT(t).count() === srcT(t).count(), s"table $t")
+  }
+
+  test("event replicas add users, not per-user history") {
+    val perUser = srcT("events").groupBy("user_id").count()
+      .agg(max("count")).head.getLong(0)
+    val perUserScaled = dstT("events").groupBy("user_id").count()
+      .agg(max("count")).head.getLong(0)
+    assert(perUserScaled === perUser,
+      "max per-user event count must not grow under replication")
+    assert(dstT("events").select("user_id").distinct().count() ===
+      srcT("events").select("user_id").distinct().count() * n)
+    assert(dstT("events").select("event_id").distinct().count() ===
+      dstT("events").count(), "event ids must stay unique")
   }
 
   test("FK edges survive replication") {
