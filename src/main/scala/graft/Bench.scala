@@ -80,9 +80,11 @@ object Bench {
           target = reps, maxAttempts = reps * 2 + 2, sentinel = sentinel _,
           rep = oneRep _,
           baselineFloor = sys.env.get("SPARK_GRAFT_SENTINEL_BASELINE").map(_.toDouble))
-      else
-        graft.tools.WaveGuard.Outcome((1 to reps).map(_ => oneRep()).toVector,
-          wavesDetected = 0, sentinelTimes = Vector(-1.0), contaminated = false)
+      else {
+        val all = (1 to reps).map(_ => oneRep()).toVector
+        graft.tools.WaveGuard.Outcome(all, wavesDetected = 0,
+          sentinelTimes = Vector(-1.0), contaminated = false, attempted = all)
+      }
     if (outcome.wavesDetected > 0)
       System.err.println(s"[bench] wave guard discarded ${outcome.wavesDetected} rep(s); " +
         s"sentinel times: ${outcome.sentinelTimes.map(t => f"$t%.2f").mkString(", ")}" +
@@ -116,9 +118,18 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","reps":$reps,"spread":$sp"""
       }
+    // Spread contamination (tools/WaveGuard.spreadFlagged): the sentinel
+    // bracket misses waves that start and recover WITHIN a rep; per-query
+    // minima across every attempted rep (discarded ones included) expose
+    // them. >2 queries at 3× their healthy anchor = host wave, not code.
+    val spreadFlagged = graft.tools.WaveGuard.spreadFlagged(
+      outcome.reps, outcome.attempted)
+    val spreadJson =
+      s""","spread_flagged":${spreadFlagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","spread_contaminated":${graft.tools.WaveGuard.spreadContaminated(spreadFlagged)}"""
     val wave =
       if (!waveGuardOn) ""
-      else s""","waves_detected":${outcome.wavesDetected},"wave_contaminated":${outcome.contaminated},"sentinel_baseline_s":${outcome.baseline}"""
+      else s""","waves_detected":${outcome.wavesDetected},"wave_contaminated":${outcome.contaminated},"sentinel_baseline_s":${outcome.baseline}$spreadJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$spread$wave}""")
     spark.stop()
   }

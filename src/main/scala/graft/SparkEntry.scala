@@ -224,26 +224,32 @@ object SparkEntry {
         // filter-then-aggregate shape and the oracle both drop it), not
         // surface as a null-stats row
         .filter(col("__nt").isNotNull)
-      val medIdx = m.select(col("l_returnflag"), col("__b"),
-          ((col("__nt") - 1).cast("double") * lit(0.5)).as("__p50"))
-        .withColumn("__l50", floor(col("__p50"))).withColumn("__h50", ceil(col("__p50")))
-      val median = cum.join(broadcast(medIdx), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(max(col("__p50")).as("__p50"), max(col("__l50")).as("__l50"),
-          max(col("__h50")).as("__h50"),
-          vAt(col("__l50") + col("__b")).as("__v50l"),
-          vAt(col("__h50") + col("__b")).as("__v50h"))
-        .select(col("l_returnflag"),
-          interp(col("__p50"), col("__l50"), col("__h50"), col("__v50l"), col("__v50h")).as("__med"))
+        // the median's multiset indices derive from __nt/__b alone, so they
+        // ride along as plain columns: broadcasting THIS table back onto the
+        // cumulated table makes one probe pass answer both "fetch the two
+        // covering values" and "carry the trimmed moments" — no separate
+        // medIdx projection, no second broadcast join, no final m⋈median join
+        .withColumn("__p50", (col("__nt") - 1).cast("double") * lit(0.5))
+        .withColumn("__l50", floor(col("__p50")))
+        .withColumn("__h50", ceil(col("__p50")))
       graft.core.OperatorCaches.owned(
-        m.join(median, Seq("l_returnflag"))
+        cum.join(broadcast(m), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          // the broadcast columns are constant within each group, so max()
+          // is a pure carry, not a reduction
+          .agg(max(col("__nt")).as("__nt"), max(col("__s1")).as("__s1"),
+            max(col("__s2")).as("__s2"), max(col("__p50")).as("__p50"),
+            max(col("__l50")).as("__l50"), max(col("__h50")).as("__h50"),
+            vAt(col("__l50") + col("__b")).as("__v50l"),
+            vAt(col("__h50") + col("__b")).as("__v50h"))
           .select(col("l_returnflag"),
             round(col("__s1") / col("__nt"), 2).as("trimmed_mean"),
             round(when(col("__nt") > 1,
               sqrt(greatest((col("__s2") - col("__s1") * col("__s1") / col("__nt")) /
                 (col("__nt") - 1), lit(0.0)))), 2).as("trimmed_stddev"),
             col("__nt").as("n_trimmed"),
-            round(col("__med"), 2).as("median")),
+            round(interp(col("__p50"), col("__l50"), col("__h50"),
+              col("__v50l"), col("__v50h")), 2).as("median")),
         Seq(cum))
     }),
 

@@ -13,7 +13,8 @@ object PlanAudit {
   final case class Check(query: String, expect: Seq[(String, String)])
 
   /** Regex expectations over `explain("formatted")` output; a leading `!`
-    * asserts ABSENCE. Run by the CLI below and enforced by `PlanAuditSpec`. */
+    * asserts ABSENCE; a leading `=N:` asserts the pattern matches EXACTLY N
+    * times. Run by the CLI below and enforced by `PlanAuditSpec`. */
   val checks: Seq[Check] = Seq(
       Check("p5_filtered_revenue", Seq(
         "parquet filter pushdown" -> "PushedFilters: \\[.*GreaterThan",
@@ -46,7 +47,15 @@ object PlanAudit {
         "no object-buffer aggregate" -> "!ObjectHashAggregate",
         "running-sum window over the compacted table" -> "Window",
         "bounds broadcast back onto compacted table" -> "BroadcastHashJoin",
-        "map-side compaction of the fact scan" -> "partial_count")),
+        "map-side compaction of the fact scan" -> "partial_count",
+        // consumer count of the persisted cumulated table, pinned: the
+        // quantile bounds branch scans it twice (totals + covering-value
+        // probe), the trimmed-moments aggregate once, and the fused
+        // median-probe/final pass once — FOUR. The round-6 shape had a
+        // fifth (separate median indices + a final m⋈median join); a
+        // regression to it shows up here as a fifth details-header scan.
+        "exactly 4 consumers of the cached cumulated table" ->
+          "=4:\\(\\d+\\) InMemoryTableScan")),
       // the adaptive bucket cap probed this corpus, found no over-cap bucket
       // and must short-circuit to the PLAIN banded plan: no residual
       // anti-join, no recovery union, and no sort-merge join anywhere. The
@@ -69,9 +78,13 @@ object PlanAudit {
     graft.SparkEntry.queries(query)(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
 
-  def holds(plan: String, regex: String): Boolean =
-    if (regex.startsWith("!")) regex.drop(1).r.findFirstIn(plan).isEmpty
-    else regex.r.findFirstIn(plan).isDefined
+  private val CountSyntax = "^=(\\d+):(.*)$".r
+
+  def holds(plan: String, regex: String): Boolean = regex match {
+    case CountSyntax(n, r) => r.r.findAllIn(plan).length == n.toInt
+    case r if r.startsWith("!") => r.drop(1).r.findFirstIn(plan).isEmpty
+    case r => r.r.findFirstIn(plan).isDefined
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "plan-audit")

@@ -30,12 +30,61 @@ object WaveGuard {
     *                      tripped the threshold
     * @param sentinelTimes every sentinel observation, in order
     * @param contaminated  true when fewer than `target` healthy reps were
-    *                      collected within `maxAttempts` */
+    *                      collected within `maxAttempts`
+    * @param attempted     EVERY rep in attempt order, discarded ones included
+    *                      — the discarded reps' per-query times are the data
+    *                      [[spreadFlagged]] needs to expose intra-rep waves
+    *                      that recovered before the closing sentinel */
   final case class Outcome[T](reps: Vector[T], wavesDetected: Int,
                               sentinelTimes: Vector[Double],
-                              contaminated: Boolean) {
+                              contaminated: Boolean,
+                              attempted: Vector[T] = Vector.empty[T]) {
     def baseline: Double = sentinelTimes.min
   }
+
+  /**
+   * Per-query spread contamination check — the guard the sentinel bracket
+   * cannot provide: a stall wave that begins after the opening sentinel and
+   * recovers before the closing one inflates mid-rep queries while both
+   * sentinels look healthy (observed in the round-6 driver artifact: kept
+   * medians 2–4× the committed run with `wave_contaminated: false`).
+   *
+   * Waves only ever INFLATE, so for each query the minimum over every
+   * attempted rep — discarded wave-hit reps included, their unaffected
+   * queries are healthy observations — is a robust healthy anchor. A query
+   * is flagged when its kept-median exceeds `factor` × that anchor AND the
+   * excess is at least `minExcessSeconds` (sub-second queries jitter past
+   * any ratio without meaning contamination).
+   *
+   * With a single attempt and no discards, kept == attempted and nothing can
+   * flag — the check only has teeth when retries or reps provide an
+   * independent observation, which is exactly when the sentinel bracket has
+   * already proven insufficient.
+   */
+  def spreadFlagged(kept: Seq[Map[String, Option[Double]]],
+                    attempted: Seq[Map[String, Option[Double]]],
+                    factor: Double = 3.0,
+                    minExcessSeconds: Double = 1.0): Seq[String] = {
+    val names = kept.flatMap(_.keys).distinct
+    names.filter { n =>
+      val keptOk = kept.flatMap(_.get(n).flatten)
+      val allOk = attempted.flatMap(_.get(n).flatten)
+      keptOk.nonEmpty && allOk.nonEmpty && {
+        val med = {
+          val s = keptOk.sorted
+          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        }
+        val anchor = allOk.min
+        med > anchor * factor && med - anchor > minExcessSeconds
+      }
+    }
+  }
+
+  /** Run-level verdict over [[spreadFlagged]]: one slow query can be a real
+    * (if unexplained) regression, but `maxFlagged`+1 simultaneous 3×
+    * inflations on independent queries is a host wave. */
+  def spreadContaminated(flagged: Seq[String], maxFlagged: Int = 2): Boolean =
+    flagged.size > maxFlagged
 
   /**
    * Collect `target` wave-clean reps, spending at most `maxAttempts` suite
@@ -51,12 +100,14 @@ object WaveGuard {
     def anchor: Double = (sent ++ baselineFloor).min
     var kept = Vector.empty[T]
     var discarded = Vector.empty[T]
+    var attempted = Vector.empty[T]
     var waves = 0
     var attempts = 0
     while (kept.size < target && attempts < maxAttempts) {
       attempts += 1
       val before = sent.last
       val r = rep()
+      attempted :+= r
       val after = sentinel()
       sent :+= after
       // evaluate with the anchor INCLUDING `after`: a healthy closing
@@ -66,7 +117,10 @@ object WaveGuard {
         discarded :+= r
       } else kept :+= r
     }
-    if (kept.size >= target) Outcome(kept, waves, sent, contaminated = false)
-    else Outcome(kept ++ discarded, waves, sent, contaminated = true)
+    if (kept.size >= target) Outcome(kept, waves, sent, contaminated = false,
+      attempted = attempted)
+    // clean reps lead the contaminated fallback (NOT attempt order)
+    else Outcome(kept ++ discarded, waves, sent, contaminated = true,
+      attempted = attempted)
   }
 }

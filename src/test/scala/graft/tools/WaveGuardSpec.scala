@@ -73,6 +73,51 @@ class WaveGuardSpec extends AnyFunSuite {
     assert(o.reps.size == 5 && o.wavesDetected == 4)
   }
 
+  test("attempted carries every rep, discarded included, in attempt order") {
+    val o = run(Seq(1.2, 1.3, 42.0, 1.25, 1.2, 1.3), target = 3, maxAttempts = 8)
+    assert(o.attempted == Vector(1, 2, 3, 4, 5))
+    assert(o.reps == Vector(1, 4, 5))
+  }
+
+  test("spread flag: intra-rep wave past a healthy sentinel bracket is caught") {
+    // the round-6 failure mode: the KEPT rep's a10/knn3 times are 3-4× the
+    // healthy observations sitting in the DISCARDED reps, both its
+    // bracketing sentinels healthy. Per-query minima over every attempt
+    // expose exactly the inflated queries.
+    val healthy = Map("a10" -> Some(2.4), "knn3" -> Some(1.4),
+      "j1" -> Some(0.6), "fast" -> Some(0.2))
+    val waveHit = Map("a10" -> Some(9.4), "knn3" -> Some(6.7),
+      "j1" -> Some(2.4), "fast" -> Some(0.7))
+    val flagged = WaveGuard.spreadFlagged(kept = Seq(waveHit),
+      attempted = Seq(healthy, waveHit))
+    // a10: 9.4 > 3×2.4 and excess > 1 s — flagged. knn3: 6.7 > 3×1.4,
+    // excess 5.3 s — flagged. j1: 2.4 > 3×0.6, excess 1.8 s — flagged.
+    // fast: ratio trips but the 0.5 s excess is sub-threshold — jitter.
+    assert(flagged.toSet == Set("a10", "knn3", "j1"))
+    assert(WaveGuard.spreadContaminated(flagged))
+  }
+
+  test("spread flag: single attempt cannot flag; lone slow query is not a wave") {
+    val one = Map("a10" -> Some(2.4), "j1" -> Some(0.6))
+    assert(WaveGuard.spreadFlagged(Seq(one), Seq(one)).isEmpty)
+    // one query 3× over its anchor across attempts = possible regression,
+    // not run contamination
+    val reg = WaveGuard.spreadFlagged(
+      kept = Seq(Map("a10" -> Some(9.4), "j1" -> Some(0.6))),
+      attempted = Seq(Map("a10" -> Some(2.4), "j1" -> Some(0.6)),
+        Map("a10" -> Some(9.4), "j1" -> Some(0.6))))
+    assert(reg == Seq("a10"))
+    assert(!WaveGuard.spreadContaminated(reg))
+  }
+
+  test("spread flag: failed reps (None) are excluded from anchors and medians") {
+    val flagged = WaveGuard.spreadFlagged(
+      kept = Seq(Map("q" -> Some(5.0)), Map("q" -> Some(5.2))),
+      attempted = Seq(Map("q" -> None), Map("q" -> Some(5.0)),
+        Map("q" -> Some(5.2))))
+    assert(flagged.isEmpty, "crash-latency Nones must not become anchors")
+  }
+
   test("relative threshold adapts to the sf in use (no absolute seconds)") {
     // sf0.01 sentinel ≈0.3 s: a 1.2 s sentinel (healthy at sf0.1!) is a
     // 4× excursion there and must trip
