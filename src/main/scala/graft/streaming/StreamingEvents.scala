@@ -50,6 +50,55 @@ object StreamingEvents {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /**
+   * foreachBatch exact-dedup sink — the batch [[graft.dedup.Dedup.exact]]
+   * operator composed into the streaming surface, for dedup windows LONGER
+   * than a watermark can hold ([[dedupStream]] bounds its state by event
+   * time; this sink's memory of seen content is a parquet fingerprint
+   * LEDGER, so "ever seen" is the whole stream's history).
+   *
+   * Per micro-batch: (1) intra-batch duplicates collapse via the batch
+   * operator (keeper = first by `keepOrder`); (2) cross-batch duplicates
+   * drop via a left-anti join against the ledger — a shuffle join on the
+   * uniform 64-bit fingerprint, the same 100 TB-safe shape as batch exact
+   * dedup (only (fingerprint) rows shuffle, never document bodies);
+   * (3) survivors append to `outPath`, their fingerprints to the ledger.
+   *
+   * Delivery: foreachBatch is at-least-once on retry — a batch that fails
+   * AFTER the output append but BEFORE the ledger append can re-emit its
+   * rows on restart (they are not yet in the ledger). The ledger itself
+   * converges (appending the same fingerprints twice leaves later batches'
+   * anti-join unchanged), so duplicates are bounded by one failed batch;
+   * an exactly-once deployment would write output + ledger through a
+   * transactional table format instead of raw parquet.
+   */
+  def exactDedupSink(docs: DataFrame, textCol: String, keepOrder: Seq[String],
+                     outPath: String, ledgerPath: String,
+                     checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val marked = graft.dedup.Dedup.exact(batch, col(textCol),
+            keepOrder.map(col))
+          .filter(!col("is_dup"))
+        val seen =
+          try s.read.parquet(ledgerPath).select(col("fingerprint").as("dup_group"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            // first batch: no ledger yet
+            s.range(0).select(col("id").as("dup_group"))
+          }
+        val fresh = marked.join(seen, Seq("dup_group"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fresh.drop("dup_group", "dup_rank", "is_dup")
+          .write.mode("append").parquet(outPath)
+        fresh.select(col("dup_group").as("fingerprint"))
+          .write.mode("append").parquet(ledgerPath)
+        fresh.unpersist()
+        ()
+      }
+      .start()
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

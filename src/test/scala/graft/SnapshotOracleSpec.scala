@@ -51,6 +51,36 @@ class SnapshotOracleSpec extends SparkSpecBase {
   }
 
   check("dedup3_simhash", "595b68781e2394fdaa44560d0ffd6578")
+
+  // Full clinical-sequence golden snapshot on the bundled OMOP sample: the
+  // end-to-end GenerateTrainingData array output (concept/time/age/visit
+  // parallel arrays and their §1.3 intra-visit struct ordering) frozen as
+  // one content hash — pins the sequence semantics against refactors at a
+  // finer grain than scripts/golden_compare.py's config-level field diffs,
+  // and runs in the default suite (golden_compare needs the reference venv).
+  test("GenerateTrainingData(sample CDM, day-ATT config) matches its frozen snapshot") {
+    val sample = "/root/reference/sample_data/omop_sample"
+    assume(Files.exists(Paths.get(sample)), s"$sample not present")
+    import graft.functions.TimeTokens.AttType
+    val cfg = graft.omop.GenerateTrainingData.Config(
+      inputFolder = sample,
+      outputFolder = None,
+      domainTableList = Seq(graft.omop.OmopSchema.ConditionOccurrence,
+        graft.omop.OmopSchema.DrugExposure, graft.omop.OmopSchema.ProcedureOccurrence),
+      dateFilter = Some("1985-01-01"),
+      includeVisitType = true,
+      applyAgeFilter = true,
+      withDrugRollup = true,
+      attType = AttType.Day,
+      inpatientAttType = AttType.Day,
+      excludeDemographic = false,
+      includeInpatientHourToken = true)
+    val seq = graft.omop.GenerateTrainingData.run(spark, cfg, gptPatientSequence = true)
+    val actual = canonicalHash(seq)
+    assert(actual === "bc2368d8ada45f73edd08e08e09a7d61",
+      s"— snapshot drift in the golden sequence: actual=$actual. If the " +
+        "change is intentional, update the constant in SnapshotOracleSpec.")
+  }
   // refrozen r6: lshTopK auto-sizes planes (≈log2(n/32) → 4 at sf0.01's
   // n=500; was a fixed 10) — with a fixed plane count the average bucket
   // outgrows the cap at scale and the guard drops most of the corpus

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -62,6 +63,36 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(first.getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
     assert(first.getAs[Timestamp]("session_end") == ts("2024-01-01 10:30:00"))
     assert(first.getAs[Int]("n_events") == 2)
+  }
+
+  test("exactDedupSink: batch Dedup.exact composed via foreachBatch, ledger spans batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-dedup-sink").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    val q = StreamingEvents.exactDedupSink(docs, "text", keepOrder = Seq("doc_id"),
+      outPath = s"$dir/out", ledgerPath = s"$dir/ledger",
+      checkpointPath = s"$dir/ckpt")
+    // batch 1: intra-batch duplicate (docs 1/2) + a unique doc
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "alpha beta gamma"),
+      (2L, ts("2024-01-01 10:01:00"), "alpha beta gamma"),
+      (3L, ts("2024-01-01 10:02:00"), "delta epsilon"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of batch 1 content (doc 4 — hours past
+    // any watermark reach) + a new doc; ledger must still drop doc 4
+    input.addData(
+      (4L, ts("2024-01-02 09:00:00"), "alpha beta gamma"),
+      (5L, ts("2024-01-02 09:01:00"), "zeta eta"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L),
+      s"keeper set wrong: $kept — intra-batch keeper is min doc_id; cross-batch dups must drop")
+    // ledger holds exactly the three distinct fingerprints
+    assert(spark.read.parquet(s"$dir/ledger").distinct().count() == 3)
   }
 
   test("dedupStream drops watermark-window duplicates by content fingerprint") {
