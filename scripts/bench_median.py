@@ -79,7 +79,8 @@ def main():
     if waves is not None:
         print(f"# wave guard: waves_detected={waves} "
               f"contaminated={d.get('wave_contaminated')} "
-              f"sentinel_baseline_s={d.get('sentinel_baseline_s'):.3f}")
+              f"sentinel_baseline_s={d.get('sentinel_baseline_s'):.3f} "
+              f"spread_flagged={d.get('spread_flagged')}")
     print(f"{'query':<32} {'median_s':>9} {'min_s':>9} {'max_s':>9}")
     for name, med in rows:
         lo, hi = spread.get(name, [med, med])
@@ -90,6 +91,12 @@ def main():
         sys.stderr.write("WAVE-CONTAMINATED RUN: healthy-rep budget exhausted; "
                          "do NOT commit this table as the round's medians.\n")
         sys.exit(3)
+    if d.get("spread_contaminated"):
+        sys.stderr.write(
+            f"SPREAD-CONTAMINATED RUN: {d.get('spread_flagged')} all sit >3x "
+            "their healthiest observation across attempts — an intra-rep wave "
+            "the sentinel bracket missed; do NOT commit this table.\n")
+        sys.exit(5)
     base = d.get("sentinel_baseline_s")
     j1 = d["queries"].get("j1_revenue_by_nation")
     if base and j1 and j1 / base > 1.6:

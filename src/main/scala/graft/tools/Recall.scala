@@ -89,7 +89,8 @@ object Recall {
   /** All four recall numbers for one sf directory, as (metric -> value),
     * plus the corpus/sample sizes that contextualize them. */
   def measure(spark: SparkSession, sfDir: String,
-              queryTarget: Int = 2000): Seq[(String, Double)] = {
+              queryTarget: Int = 2000,
+              fixedCounterfactual: Boolean = false): Seq[(String, Double)] = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -112,6 +113,13 @@ object Recall {
     val knn3 = annRecallAtK(
       toSample(Knn.ivfTopK(emb, "vec_id", "embedding", k = 3,
         nProbe = 2, kmeansIters = 2)), truth)
+    // counterfactual: the round-6 fixed-plane trap (planes pinned at the old
+    // default 10 while n grows — average bucket outgrows the cap and the
+    // guard drops most of the corpus). Measured beside auto so "auto-sizing
+    // prevents recall collapse" is a number, not an argument.
+    val knn2Fixed = if (!fixedCounterfactual) None else Some(annRecallAtK(
+      toSample(Knn.lshTopK(emb, "vec_id", "embedding", k = 3, dims = 64,
+        planes = 10, maxBucketSize = Some(64))), truth))
     truth.unpersist(); queries.unpersist()
 
     // near-dup pair recall, production guards ON vs uncapped-exact
@@ -129,7 +137,9 @@ object Recall {
     emb.unpersist(); docs.unpersist()
     Seq("n_vectors" -> nVec.toDouble, "n_docs" -> nDoc.toDouble,
       "n_queries" -> nQ.toDouble,
-      "knn2_lsh_recall_at3" -> knn2, "knn3_ivf_recall_at3" -> knn3,
+      "knn2_lsh_recall_at3" -> knn2, "knn3_ivf_recall_at3" -> knn3) ++
+    knn2Fixed.map("knn2_fixedplanes10_recall_at3" -> _).toSeq ++
+    Seq(
       "dedup2_pair_recall" -> dedup2, "dedup2_pairs_exact" -> d2n.toDouble,
       "dedup2_pairs_hit" -> d2h.toDouble,
       "ngram1_pair_recall" -> ngram1, "ngram1_pairs_exact" -> n1n.toDouble,
@@ -140,6 +150,7 @@ object Recall {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val target = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "2000").toInt
+    val fixed = sys.env.get("SPARK_GRAFT_RECALL_FIXED").exists(v => v == "1" || v == "true")
     val spark = graft.core.GraftSession.withDefaults(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -148,7 +159,7 @@ object Recall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val m = measure(spark, sfDir, target)
+    val m = measure(spark, sfDir, target, fixedCounterfactual = fixed)
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"recall","sf":"$sfDir",$fields,"harness_sec":$secs}""")
