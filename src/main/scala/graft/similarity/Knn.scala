@@ -36,11 +36,12 @@ object Knn {
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold
     * among LSH-bucket candidates (exact under the bucket approximation).
-    * With `maxBucketSize` set, giant buckets are dropped and identical-vector
-    * groups are recovered as star edges (member ↔ group-min id, cosine 1) —
-    * connectivity-preserving for cluster consumers, linear output; the
-    * over-cap probe is EAGER (runs at call time, see
-    * [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]). */
+    * With `maxBucketSize` set, giant buckets degrade to bounded chunk pairs
+    * plus connectivity links (see [[guardedCandidatePairs]]) and
+    * identical-vector groups are additionally recovered as star edges
+    * (member ↔ group-min id, cosine 1) — connectivity-preserving for
+    * cluster consumers, linear output; the over-cap probe is EAGER (runs at
+    * call time). */
   def cosineNearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dims: Int, planes: Int = 0,
                            tables: Int = 3,
@@ -53,8 +54,7 @@ object Knn {
     val cands = (maxBucketSize match {
       case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables)
       case Some(cap) =>
-        val (keyed, capped) = guardedKeyed(vecs, idCol, vecCol, dims, pl, tables, cap)
-        val lsh = bucketPairs(keyed)
+        val (lsh, capped) = guardedCandidatePairs(vecs, idCol, vecCol, dims, pl, tables, cap)
         if (!capped) lsh
         else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = 0)
           .select(least(col("left_id"), col("right_id")).as("left_id"),
@@ -120,20 +120,84 @@ object Knn {
       .select("left_id", "right_id").distinct()
   }
 
-  /** Guarded keyed table: persist the keys, materialize the over-cap bucket
-    * set (EAGER — one map-side-combinable pass, same contract as
-    * [[graft.dedup.Dedup.ngramJaccardBlocked]]'s cap path: build the
-    * DataFrame when you run it), and return the plain keyed table when no
-    * bucket exceeds the cap — the guarded plan IS the plain plan then, so
-    * downstream recovery can be skipped (`capBit = false`). */
-  private def guardedKeyed(vecs: DataFrame, idCol: String, vecCol: String,
-                           dims: Int, planes: Int, tables: Int,
-                           cap: Int): (DataFrame, Boolean) = {
+  /** Chunk width for over-cap bucket degradation: each member of a saturated
+    * bucket keeps ~this many same-bucket candidates per table. */
+  private val OverCapChunkWidth = 8
+
+  /**
+   * Guarded candidate pairs: under-cap buckets self-join as usual; over-cap
+   * buckets DEGRADE to bounded chunk pairs instead of being dropped.
+   *
+   * WHY (r7, measured — BENCH_NOTES "Recall evidence"): drop-based capping
+   * collapses top-k recall exactly on the mass-near-duplicate corpora the
+   * cap exists to survive. A cluster of d near-identical vectors saturates
+   * its bucket in EVERY hash table (near-identical vectors agree on almost
+   * every hyperplane sign), so dropping over-cap buckets removes every
+   * candidate those d vectors had anywhere — and the identical-vector
+   * recovery ([[exactDupVectorPairs]]) cannot see PERTURBED duplicates
+   * (re-encoded/quantized copies; the sf10 replica corpus measured knn2
+   * recall 0.017 under drop-capping vs ~1 after this change).
+   *
+   * Degradation shape: members of an over-cap bucket hash into chunks of
+   * expected size (W+1); pairs form within each chunk, plus one edge per
+   * chunk linking its representative (min id) to the bucket representative
+   * so cluster consumers keep full-bucket connectivity. A bucket of d
+   * contributes ~d·(W+1)/2 + d/(W+1) pairs — LINEAR in d vs the d² self-
+   * join — with no giant per-bucket sort (the chunk id spreads the bucket
+   * across tasks; no window, no skew). On a saturated bucket every
+   * chunk-mate is a near-duplicate, so top-k quality survives; on a rare
+   * false-collision bucket the downstream exact-cosine scoring discards
+   * the junk pairs as before. The over-cap probe stays EAGER (one
+   * map-side-combinable pass; plan frozen against the input as of the
+   * call, same contract as [[graft.operators.SkewGuards]]).
+   */
+  private def guardedCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                                    dims: Int, planes: Int, tables: Int,
+                                    cap: Int): (DataFrame, Boolean) = {
     val keyed = hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val (kept, capBit) = graft.operators.SkewGuards
-      .adaptiveDropOverCapRows(keyed, Seq("table_idx", "bucket"), cap)
-    (graft.core.OperatorCaches.owned(kept, Seq(keyed)), capBit)
+    val keys = Seq("table_idx", "bucket")
+    val bigK = keyed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capActive = !bigK.isEmpty
+    graft.core.Decisions.record(
+      s"lsh.bucketCap(cap=$cap).capActive", capActive)
+    if (!capActive) {
+      bigK.unpersist()
+      (graft.core.OperatorCaches.owned(bucketPairs(keyed), Seq(keyed)), false)
+    } else {
+      val w = OverCapChunkWidth
+      val under = keyed.join(broadcast(bigK.select(keys.map(col): _*)), keys, "left_anti")
+        .select(keyed.columns.map(col).toSeq: _*)
+      // table_idx participates in the chunk hash so each table yields an
+      // INDEPENDENT chunk layout — a member's candidate neighborhood is the
+      // union of `tables` different W-sized samples of its bucket, not the
+      // same sample repeated
+      val chunked = keyed.join(broadcast(bigK), keys)
+        .withColumn("__chunk", pmod(xxhash64(col("__id"), col("table_idx")),
+          greatest((col("__n") / (w + 1)).cast("long"), lit(1L))))
+      val ck = keys :+ "__chunk"
+      val a = chunked.select((ck.map(col) :+ col("__id").as("left_id")): _*)
+      val b = chunked.select((ck.map(col) :+ col("__id").as("right_id")): _*)
+      // both orders, matching [[bucketPairs]]' contract (top-k consumers
+      // read left_id as the query side)
+      val within = a.join(b, ck)
+        .filter(col("left_id") =!= col("right_id"))
+        .select("left_id", "right_id")
+      // connectivity: chunk representative ↔ bucket representative. Both
+      // aggregates are map-side combinable; the per-bucket rep table is one
+      // row per over-cap bucket — broadcast-sized by the cap's premise.
+      val reps = chunked.groupBy(ck.map(col): _*).agg(min(col("__id")).as("__rep"))
+      val bucketRep = reps.groupBy(keys.map(col): _*).agg(min(col("__rep")).as("__brep"))
+      val links = reps.join(broadcast(bucketRep), keys)
+        .filter(col("__rep") =!= col("__brep"))
+        .select(col("__brep").as("left_id"), col("__rep").as("right_id"))
+      val linksBoth = links.union(
+        links.select(col("right_id").as("left_id"), col("left_id").as("right_id")))
+      val pairs = bucketPairs(under).union(within).union(linksBoth).distinct()
+      (graft.core.OperatorCaches.owned(pairs, Seq(keyed, bigK)), true)
+    }
   }
 
   /** Same-bucket candidate pairs under `tables` independent hyperplane tables.
@@ -141,18 +205,16 @@ object Knn {
     * `maxBucketSize`: skew guard — identical/near-identical embeddings (mass-
     * duplicated content) collapse into the same buckets in EVERY table, and a
     * bucket of d vectors puts d² pairs into the join. Buckets above the cap
-    * are dropped from candidate generation (broadcast anti-join on the tiny
-    * over-cap key set, skipped entirely when no bucket is over — an EAGER
-    * probe, see [[guardedKeyed]]); callers that set the cap should recover
-    * identical-vector neighbors separately (see [[exactDupVectorPairs]] and
-    * its use in [[lshTopK]] / [[cosineNearDuplicates]]). */
+    * degrade to bounded chunk pairs (linear in d — see
+    * [[guardedCandidatePairs]] for the shape and the measured recall
+    * rationale); the over-cap probe is EAGER. */
   def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
                     planes: Int, tables: Int,
                     maxBucketSize: Option[Int] = None): DataFrame =
     maxBucketSize match {
       case None => bucketPairs(hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables))
       case Some(cap) =>
-        bucketPairs(guardedKeyed(vecs, idCol, vecCol, dims, planes, tables, cap)._1)
+        guardedCandidatePairs(vecs, idCol, vecCol, dims, planes, tables, cap)._1
     }
 
   /** Ordered neighbor pairs among ids with an IDENTICAL embedding — the
@@ -181,12 +243,12 @@ object Knn {
   }
 
   /** Approximate top-k via LSH candidates (recall grows with planes↓ / tables↑).
-    * With `maxBucketSize` set, over-cap buckets are skipped and each member of
-    * an identical-embedding group keeps its k guaranteed cosine-1 neighbors
-    * via [[exactDupVectorPairs]] — the only candidates a cap could otherwise
-    * cost that are provably in the true top-k. The over-cap probe is EAGER
-    * (runs at call time, see
-    * [[graft.operators.SkewGuards.adaptiveDropOverCapRows]]). */
+    * With `maxBucketSize` set, over-cap buckets degrade to bounded chunk
+    * pairs (see [[guardedCandidatePairs]] — every member of a saturated
+    * bucket keeps ~chunk-width same-bucket candidates per table) and each
+    * member of an identical-embedding group additionally keeps its k
+    * guaranteed cosine-1 neighbors via [[exactDupVectorPairs]]. The
+    * over-cap probe is EAGER (runs at call time). */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
               planes: Int = 0, tables: Int = 4,
               maxBucketSize: Option[Int] = None): DataFrame = {
@@ -196,8 +258,7 @@ object Knn {
     val cands = maxBucketSize match {
       case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables)
       case Some(cap) =>
-        val (keyed, capped) = guardedKeyed(vecs, idCol, vecCol, dims, pl, tables, cap)
-        val lsh = bucketPairs(keyed)
+        val (lsh, capped) = guardedCandidatePairs(vecs, idCol, vecCol, dims, pl, tables, cap)
         if (!capped) lsh
         else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k)).distinct()
     }

@@ -63,6 +63,23 @@ object Recall {
     if (row.getDouble(1) == 0.0) 1.0 else row.getDouble(0) / row.getDouble(1)
   }
 
+  /** Mean per-query cosine gap between the TRUE top-k and the retrieved
+    * top-k: avg over queries of (mean true cosine − mean retrieved cosine).
+    * The interpretability complement to exact-slot recall on near-dup-
+    * saturated corpora: when a bucket holds d near-identical members, the
+    * guard's bounded sampling can only find ~sample/d of the exact top-3
+    * SLOTS (low recall@k), yet every retrieved neighbor may sit within 1e-4
+    * cosine of the true ones — this measures that distance. Queries with no
+    * retrieved rows contribute their full mean true cosine (gap vs
+    * nothing). */
+  def annQualityGap(approx: DataFrame, truth: DataFrame): Double = {
+    val t = truth.groupBy("query_id").agg(avg(col("cosine")).as("__tq"))
+    val a = approx.groupBy("query_id").agg(avg(col("cosine")).as("__aq"))
+    t.join(a, Seq("query_id"), "left_outer")
+      .agg(avg(col("__tq") - coalesce(col("__aq"), lit(0.0))))
+      .head().getDouble(0)
+  }
+
   /** (hits, exactCount, recall) of an approximate pair set vs the exact one.
     * Pair order is normalized on both sides; precision is not measured here
     * because both production paths verify exact Jaccard on candidates. */
@@ -107,9 +124,12 @@ object Recall {
       approx.join(broadcast(qIds), Seq("query_id"), "left_semi")
 
     // production-config operators (mirror the SparkEntry queries exactly)
-    val knn2 = annRecallAtK(
-      toSample(Knn.lshTopK(emb, "vec_id", "embedding", k = 3, dims = 64,
-        maxBucketSize = Some(64))), truth)
+    val knn2Out = toSample(Knn.lshTopK(emb, "vec_id", "embedding", k = 3,
+        dims = 64, maxBucketSize = Some(64)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val knn2 = annRecallAtK(knn2Out, truth)
+    val knn2Gap = annQualityGap(knn2Out, truth)
+    knn2Out.unpersist()
     val knn3 = annRecallAtK(
       toSample(Knn.ivfTopK(emb, "vec_id", "embedding", k = 3,
         nProbe = 2, kmeansIters = 2)), truth)
@@ -137,7 +157,8 @@ object Recall {
     emb.unpersist(); docs.unpersist()
     Seq("n_vectors" -> nVec.toDouble, "n_docs" -> nDoc.toDouble,
       "n_queries" -> nQ.toDouble,
-      "knn2_lsh_recall_at3" -> knn2, "knn3_ivf_recall_at3" -> knn3) ++
+      "knn2_lsh_recall_at3" -> knn2, "knn2_quality_gap" -> knn2Gap,
+      "knn3_ivf_recall_at3" -> knn3) ++
     knn2Fixed.map("knn2_fixedplanes10_recall_at3" -> _).toSeq ++
     Seq(
       "dedup2_pair_recall" -> dedup2, "dedup2_pairs_exact" -> d2n.toDouble,
