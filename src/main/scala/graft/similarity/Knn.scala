@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.functions.VectorFunctions
 
@@ -67,6 +68,24 @@ object Knn {
       .withColumn("cosine", pairCosine(col("__vl"), col("__nl"), col("__vr"), col("__nr")))
       .filter(col("cosine") >= threshold)
       .select("left_id", "right_id", "cosine")
+  }
+
+  /** (query_id, neighbor_id, rank, cosine) top-k per query via the bounded
+    * [[graft.functions.TopKPairsAggregate]] — hash aggregation with a k-slot
+    * buffer per query, NO sort of the scored stream. The window
+    * (`row_number() <= k`) formulation sorts the full map-side stream before
+    * WindowGroupLimit can prune it; on join-amplified streams (IVF cell
+    * self-join: n·nProbe·(n/cells) rows) that sort's spill is what died at
+    * the sf100 probe (~2 TB > any local disk). Ordering replicates the
+    * window form bit-for-bit: (cosine DESC, neighbor_id ASC). */
+  private def topKByAgg(scored: DataFrame, k: Int): DataFrame = {
+    val top = ColumnBridge.column(graft.functions.TopKPairsAggregate(
+      ColumnBridge.expression(col("neighbor_id")),
+      ColumnBridge.expression(col("cosine")), k).toAggregateExpression())
+    scored.groupBy("query_id").agg(top.as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        (col("__p") + 1).cast("int").as("rank"), col("__t.cosine").as("cosine"))
   }
 
   /** Exact top-k neighbors for every query vector (excludes self-matches on id). */
@@ -269,9 +288,7 @@ object Knn {
       .withColumn("cosine", pairCosine(col("__vl"), col("__nl"), col("__vr"), col("__nr")))
       .select(col("left_id").as("query_id"), col("right_id").as("neighbor_id"),
         col("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByAgg(scored, k)
   }
 
   /**
@@ -395,11 +412,9 @@ object Knn {
     val scored = probes.join(members, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", pairCosine(col("__qv"), col("__qn"), col("__nv"), col("__nn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .select("query_id", "neighbor_id", "cosine")
     graft.core.OperatorCaches.owned(
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine"),
+      topKByAgg(scored, k).select("query_id", "neighbor_id", "rank", "cosine"),
       Seq(pruned))
   }
 }
