@@ -228,6 +228,90 @@ private[graft] case class HyperplaneSignBits(child: Expression, planes: Seq[Seq[
 }
 
 /**
+ * Multi-probe LSH key sequence: the base hyperplane sign-bit key (element 0)
+ * followed by `nProbes` single-bit-flip keys in order of increasing
+ * |projection| — the perturbation heuristic of multi-probe LSH (Lv et al.,
+ * VLDB 2007): a true neighbor that landed one bucket away most likely
+ * disagrees on the hyperplane whose projection is closest to zero, so those
+ * flips are probed first. One fused pass computes all projections (same
+ * kernel cost as [[HyperplaneSignBits]]); the flip selection is `nProbes`
+ * argmin scans over ≤ 63 magnitudes — noise next to the dims×planes flops.
+ */
+private[graft] case class HyperplaneProbeBits(child: Expression, planes: Seq[Seq[Double]],
+    nProbes: Int) extends UnaryExpression {
+  import VectorExpressions._
+  require(planes.nonEmpty && planes.size <= 63, "pack at most 63 sign bits into a long")
+  require(nProbes >= 0, "nProbes must be >= 0")
+
+  override def prettyName: String = "vec_hyperplane_probe_bits"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(prettyName, child)
+
+  @transient private lazy val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+  private def isFloat: Boolean = elementType(child) == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneProbeBits.compute(a.asInstanceOf[ArrayData], planesArr, nProbes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("probePlanes", planesArr, "double[][]")
+      s"""
+         |${ev.value} = graft.functions.HyperplaneProbeBits.compute(
+         |  $a, $ref, $nProbes, $isFloat);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneProbeBits =
+    copy(child = c)
+}
+
+private[graft] object HyperplaneProbeBits {
+  /** Base key + `np` lowest-|projection| single-bit flips, shared by
+    * interpreted eval and codegen. Flip order is deterministic: magnitude
+    * ascending, plane index breaking exact ties (first-found argmin). */
+  def compute(x: ArrayData, planes: Array[Array[Double]], np: Int,
+              isFloat: Boolean): ArrayData = {
+    val pCount = planes.length
+    val mag = new Array[Double](pCount)
+    var key = 0L
+    var p = 0
+    while (p < pCount) {
+      val w = planes(p)
+      val n = math.min(x.numElements(), w.length)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        proj += xv * w(i)
+        i += 1
+      }
+      if (proj >= 0.0) key |= (1L << p)
+      mag(p) = math.abs(proj)
+      p += 1
+    }
+    val t = math.min(np, pCount)
+    val out = new Array[Long](1 + t)
+    out(0) = key
+    val used = new Array[Boolean](pCount)
+    var j = 0
+    while (j < t) {
+      var best = -1
+      var bv = Double.PositiveInfinity
+      var q = 0
+      while (q < pCount) {
+        if (!used(q) && mag(q) < bv) { bv = mag(q); best = q }
+        q += 1
+      }
+      used(best) = true
+      out(1 + j) = key ^ (1L << best)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/**
  * MinHash signature: for base shingle-hashes x (array<bigint>, each in
  * [0, prime)), returns [min over x of (x·aⱼ + bⱼ) mod prime] for j < k, in a
  * single fused pass (k·|shingles| multiply-mods in compiled code — the HOF

@@ -57,8 +57,26 @@ object VectorFunctions {
    */
   def hyperplaneLshKey(v: Column, dims: Int, planes: Int, seed: Long = 42L): Column = {
     require(planes <= 63, "pack at most 63 sign bits into a long")
+    c(HyperplaneSignBits(e(v), hyperplanes(dims, planes, seed)))
+  }
+
+  /**
+   * Multi-probe LSH key sequence: `array<long>` of 1 + `nProbes` keys — the
+   * base [[hyperplaneLshKey]] (element 0) followed by the `nProbes`
+   * single-bit-flip keys in order of increasing projection magnitude (the
+   * multi-probe perturbation order of Lv et al., VLDB 2007). Same `seed` ⇒
+   * element 0 equals [[hyperplaneLshKey]] bit-for-bit, so probed queries
+   * join an index keyed by the plain function.
+   */
+  def hyperplaneProbeKeys(v: Column, dims: Int, planes: Int, nProbes: Int,
+                          seed: Long = 42L): Column = {
+    require(planes <= 63, "pack at most 63 sign bits into a long")
+    c(HyperplaneProbeBits(e(v), hyperplanes(dims, planes, seed), nProbes))
+  }
+
+  /** The deterministic hyperplane matrix shared by the key/probe variants. */
+  private def hyperplanes(dims: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val ps = Seq.fill(planes)(Seq.fill(dims)(rnd.nextGaussian()))
-    c(HyperplaneSignBits(e(v), ps))
+    Seq.fill(planes)(Seq.fill(dims)(rnd.nextGaussian()))
   }
 }

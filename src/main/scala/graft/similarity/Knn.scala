@@ -46,16 +46,20 @@ object Knn {
   def cosineNearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dims: Int, planes: Int = 0,
                            tables: Int = 3,
-                           maxBucketSize: Option[Int] = None): DataFrame = {
+                           maxBucketSize: Option[Int] = None,
+                           probes: Int = 0): DataFrame = {
     // planes = 0 (default): size the tables from the data — see [[autoPlanes]]
     val pl = if (planes > 0) planes else autoPlanes(vecs, idCol)
+    // probes defaults to 0 here (unlike lshTopK): near-dup pairs sit at
+    // cosine ≥ threshold ≈ 1, where multi-table agreement is near-certain —
+    // measured pair recall is already 1.0 without probing (BENCH_NOTES).
     // limit = 0: each member pairs with the group minimum only — star edges
     // (emitted member→min, so normalize the order before the left<right cut).
     // Recovery only runs when a bucket actually exceeded the cap.
     val cands = (maxBucketSize match {
-      case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables)
+      case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables, probes = probes)
       case Some(cap) =>
-        val (lsh, capped) = guardedCandidatePairs(vecs, idCol, vecCol, dims, pl, tables, cap)
+        val (lsh, capped) = guardedCandidatePairs(vecs, idCol, vecCol, dims, pl, tables, cap, probes)
         if (!capped) lsh
         else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = 0)
           .select(least(col("left_id"), col("right_id")).as("left_id"),
@@ -130,14 +134,41 @@ object Knn {
       .select(col("__id"), col("__k.table_idx").as("table_idx"),
         col("__k.bucket").as("bucket"))
 
-  /** Same-bucket candidate id pairs (both orders) from a keyed table. */
-  private def bucketPairs(keyed: DataFrame): DataFrame = {
-    val a = keyed.select(col("table_idx"), col("bucket"), col("__id").as("left_id"))
-    val b = keyed.select(col("table_idx"), col("bucket"), col("__id").as("right_id"))
+  /** (id, table_idx, bucket) multi-probe key sequence: each id carries its
+    * base bucket PLUS the `nProbes` lowest-margin single-bit-flip buckets
+    * per table (seeds match [[hyperplaneKeyed]], so the base key joins an
+    * index keyed by it bit-for-bit). The query side of a probed candidate
+    * join — the index side stays [[hyperplaneKeyed]], so index size and
+    * bucket statistics (the cap's subject) are untouched by probing. */
+  private def probeKeyed(vecs: DataFrame, idCol: String, vecCol: String,
+                         dims: Int, planes: Int, tables: Int,
+                         nProbes: Int): DataFrame =
+    vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table_idx"),
+          VectorFunctions.hyperplaneProbeKeys(col("__v"), dims, planes, nProbes,
+            seed = 42L + t).as("probes"))
+      }: _*)).as("__k"))
+      .select(col("__id"), col("__k.table_idx").as("table_idx"),
+        explode(col("__k.probes")).as("bucket"))
+
+  /** Candidate id pairs from a query-side keyed table joined against an
+    * index-side keyed table on (table_idx, bucket). With the query side =
+    * index side (= base keys) this is the classic same-bucket self-join,
+    * both orders; with a multi-probe query side, same-bucket pairs still
+    * appear in both orders (element 0 of every probe sequence is the base
+    * key) and probe pairs appear query-first — exactly the side top-k
+    * consumers read as the query. */
+  private def keyedPairs(query: DataFrame, index: DataFrame): DataFrame = {
+    val a = query.select(col("table_idx"), col("bucket"), col("__id").as("left_id"))
+    val b = index.select(col("table_idx"), col("bucket"), col("__id").as("right_id"))
     a.join(b, Seq("table_idx", "bucket"))
       .filter(col("left_id") =!= col("right_id"))
       .select("left_id", "right_id").distinct()
   }
+
+  /** Same-bucket candidate id pairs (both orders) from a keyed table. */
+  private def bucketPairs(keyed: DataFrame): DataFrame = keyedPairs(keyed, keyed)
 
   /** Chunk width for over-cap bucket degradation: each member of a saturated
     * bucket keeps ~this many same-bucket candidates per table. */
@@ -172,9 +203,17 @@ object Knn {
    */
   private def guardedCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
                                     dims: Int, planes: Int, tables: Int,
-                                    cap: Int): (DataFrame, Boolean) = {
+                                    cap: Int, probes: Int = 0): (DataFrame, Boolean) = {
     val keyed = hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // multi-probe widens only the QUERY side of the candidate join; the
+    // index side (and therefore bucket statistics, the cap's subject) is
+    // unchanged. Probes landing on an over-cap bucket contribute nothing —
+    // saturated buckets are served by the chunk degradation below, and an
+    // outside query probing into one would reintroduce d-sized fanout.
+    val query =
+      if (probes <= 0) keyed
+      else probeKeyed(vecs, idCol, vecCol, dims, planes, tables, probes)
     val keys = Seq("table_idx", "bucket")
     val bigK = keyed.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
@@ -184,7 +223,7 @@ object Knn {
       s"lsh.bucketCap(cap=$cap).capActive", capActive)
     if (!capActive) {
       bigK.unpersist()
-      (graft.core.OperatorCaches.owned(bucketPairs(keyed), Seq(keyed)), false)
+      (graft.core.OperatorCaches.owned(keyedPairs(query, keyed), Seq(keyed)), false)
     } else {
       val w = OverCapChunkWidth
       val under = keyed.join(broadcast(bigK.select(keys.map(col): _*)), keys, "left_anti")
@@ -214,7 +253,10 @@ object Knn {
         .select(col("__brep").as("left_id"), col("__rep").as("right_id"))
       val linksBoth = links.union(
         links.select(col("right_id").as("left_id"), col("left_id").as("right_id")))
-      val pairs = bucketPairs(under).union(within).union(linksBoth).distinct()
+      // query side joins the UNDER-cap index only: over-cap (table, bucket)
+      // keys have no index rows, so this reduces to bucketPairs(under) when
+      // probes = 0 and adds probe pairs into under-cap buckets otherwise
+      val pairs = keyedPairs(query, under).union(within).union(linksBoth).distinct()
       (graft.core.OperatorCaches.owned(pairs, Seq(keyed, bigK)), true)
     }
   }
@@ -229,11 +271,17 @@ object Knn {
     * rationale); the over-cap probe is EAGER. */
   def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
                     planes: Int, tables: Int,
-                    maxBucketSize: Option[Int] = None): DataFrame =
+                    maxBucketSize: Option[Int] = None,
+                    probes: Int = 0): DataFrame =
     maxBucketSize match {
-      case None => bucketPairs(hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables))
+      case None =>
+        val keyed = hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables)
+        val query =
+          if (probes <= 0) keyed
+          else probeKeyed(vecs, idCol, vecCol, dims, planes, tables, probes)
+        keyedPairs(query, keyed)
       case Some(cap) =>
-        guardedCandidatePairs(vecs, idCol, vecCol, dims, planes, tables, cap)._1
+        guardedCandidatePairs(vecs, idCol, vecCol, dims, planes, tables, cap, probes)._1
     }
 
   /** Ordered neighbor pairs among ids with an IDENTICAL embedding — the
@@ -270,14 +318,25 @@ object Knn {
     * over-cap probe is EAGER (runs at call time). */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
               planes: Int = 0, tables: Int = 4,
-              maxBucketSize: Option[Int] = None): DataFrame = {
+              maxBucketSize: Option[Int] = None,
+              probes: Int = -1): DataFrame = {
     // planes = 0 (default): size the tables from the data — see [[autoPlanes]]
     val pl = if (planes > 0) planes else autoPlanes(vecs, idCol)
+    // probes = -1 (default): probe every single-bit flip (the Hamming-1
+    // ball) — multiplies candidate volume by ≈ planes+1 per table but
+    // converts the boundary-miss failure mode of sign-bit LSH into a
+    // covered case: measured recall@3 0.46 → 0.95 (sf0.01) and 0.21 → 0.71
+    // (sf0.1) on the structureless corpus (BENCH_NOTES "Recall evidence").
+    // Volume grows only logarithmically with n (probes = planes ≈ log2 n),
+    // and the probe keys add NO index rows — bucket statistics, the cap's
+    // subject, are untouched.
+    val pr = if (probes >= 0) probes else pl
+    graft.core.Decisions.record(s"lsh.probes(planes=$pl)", pr)
     // recovery only runs when a bucket actually exceeded the cap
     val cands = maxBucketSize match {
-      case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables)
+      case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables, probes = pr)
       case Some(cap) =>
-        val (lsh, capped) = guardedCandidatePairs(vecs, idCol, vecCol, dims, pl, tables, cap)
+        val (lsh, capped) = guardedCandidatePairs(vecs, idCol, vecCol, dims, pl, tables, cap, pr)
         if (!capped) lsh
         else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k)).distinct()
     }

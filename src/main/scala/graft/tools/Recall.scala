@@ -107,7 +107,8 @@ object Recall {
     * plus the corpus/sample sizes that contextualize them. */
   def measure(spark: SparkSession, sfDir: String,
               queryTarget: Int = 2000,
-              fixedCounterfactual: Boolean = false): Seq[(String, Double)] = {
+              fixedCounterfactual: Boolean = false,
+              probes: Int = -1, tables: Int = 4): Seq[(String, Double)] = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -123,9 +124,15 @@ object Recall {
     def toSample(approx: DataFrame): DataFrame =
       approx.join(broadcast(qIds), Seq("query_id"), "left_semi")
 
-    // production-config operators (mirror the SparkEntry queries exactly)
+    // production-config operators (mirror the SparkEntry queries exactly);
+    // `probes`/`tables` are counterfactual knobs whose DEFAULTS equal the
+    // production lshTopK signature (probes -1 = auto = planes). Measured
+    // grid at sf0.1 (r7): probes=0 → 0.21, probes=3 → 0.57, probes=planes
+    // → 0.71 recall@3 (tables=4); halving tables to 2 at full probing gives
+    // the gain back (0.46) — probing complements tables, it does not
+    // replace them on a structureless corpus.
     val knn2Out = toSample(Knn.lshTopK(emb, "vec_id", "embedding", k = 3,
-        dims = 64, maxBucketSize = Some(64)))
+        dims = 64, tables = tables, maxBucketSize = Some(64), probes = probes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val knn2 = annRecallAtK(knn2Out, truth)
     val knn2Gap = annQualityGap(knn2Out, truth)
@@ -172,6 +179,8 @@ object Recall {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val target = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "2000").toInt
     val fixed = sys.env.get("SPARK_GRAFT_RECALL_FIXED").exists(v => v == "1" || v == "true")
+    val probes = sys.env.get("SPARK_GRAFT_RECALL_PROBES").map(_.toInt).getOrElse(-1)
+    val tables = sys.env.get("SPARK_GRAFT_RECALL_TABLES").map(_.toInt).getOrElse(4)
     val spark = graft.core.GraftSession.withDefaults(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -180,7 +189,8 @@ object Recall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val m = measure(spark, sfDir, target, fixedCounterfactual = fixed)
+    val m = measure(spark, sfDir, target, fixedCounterfactual = fixed,
+      probes = probes, tables = tables)
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"recall","sf":"$sfDir",$fields,"harness_sec":$secs}""")

@@ -85,7 +85,10 @@ class SnapshotOracleSpec extends SparkSpecBase {
   // n=500; was a fixed 10) — with a fixed plane count the average bucket
   // outgrows the cap at scale and the guard drops most of the corpus
   // (recall collapse); see BENCH_NOTES.md "Scale evidence"
-  check("knn2_lsh_top3", "8aa356c2ce3f69c989aca92fbcc5592d")
+  // refrozen r7: multi-probe (full Hamming-1 ball) became the default —
+  // measured recall@3 0.46 → 0.95 at this sf (BENCH_NOTES "Recall
+  // evidence"); more candidates ⇒ better neighbors ⇒ different rows
+  check("knn2_lsh_top3", "6ea83d0a91d627463d8ec6cf78418a74")
   // refrozen r6: ivfTopK auto-sizes nCells (≈√2n → 32 at sf0.01's n=500;
   // was a fixed 16) after the sf10 scale run measured the fixed-k cell
   // join going quadratic — see BENCH_NOTES.md "Scale evidence"

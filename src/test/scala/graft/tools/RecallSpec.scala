@@ -12,13 +12,14 @@ import graft.SparkSpecBase
  * random vectors with NO cluster structure, so a query's true top-3 are only
  * marginally closer than the bulk — the hardest possible corpus for bucketed
  * ANN (LSH tables and IVF cells both work by exploiting locality that this
- * data barely has). Measured recall@3 here is ~0.46 (LSH, 4 tables) and
- * ~0.34 (IVF, nProbe=2/√(2n) cells): structurally data-bound, not a bug —
- * the floors pin it against REGRESSION (an auto-sizing change that collapses
- * buckets, the round-6 fixed-planes failure mode) rather than asserting
- * clustered-corpus recall this data cannot exhibit. The across-scale
- * stability of these numbers (the actual auto-sizing claim) is measured at
- * sf0.1/sf1/sf10 by `runMain graft.tools.Recall` — see BENCH_NOTES.md.
+ * data barely has). Measured recall@3 here is ~0.95 for LSH (4 tables ×
+ * full Hamming-1 multi-probe, the r7 default — 0.46 without probing) and
+ * ~0.34 (IVF, nProbe=2/√(2n) cells): the LSH floor now also pins the
+ * multi-probe wiring (a regression that drops probe keys falls back to
+ * ~0.46, far below the floor), while the IVF floor pins auto-sizing against
+ * the round-6 fixed-cells collapse. The across-scale stability of these
+ * numbers (the actual auto-sizing claim) is measured at sf0.1/sf1/sf10 by
+ * `runMain graft.tools.Recall` — see BENCH_NOTES.md.
  *
  * The near-dup paths carry exact-Jaccard verification on candidates, so
  * precision is 1 and recall is the whole story; on this corpus (and at every
@@ -35,9 +36,10 @@ class RecallSpec extends SparkSpecBase {
     Recall.measure(spark, dir, queryTarget = 500).toMap
   }
 
-  test("knn2 (LSH, auto planes, cap 64): recall@3 above regression floor") {
-    assert(measured("knn2_lsh_recall_at3") >= 0.40,
-      s"LSH recall ${measured("knn2_lsh_recall_at3")} below floor — bucket collapse?")
+  test("knn2 (LSH, auto planes+probes, cap 64): recall@3 above regression floor") {
+    assert(measured("knn2_lsh_recall_at3") >= 0.85,
+      s"LSH recall ${measured("knn2_lsh_recall_at3")} below floor — " +
+        "bucket collapse or multi-probe keys dropped?")
   }
 
   test("knn3 (IVF, auto cells, nProbe 2): recall@3 above regression floor") {
