@@ -32,6 +32,17 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // TypedImperativeAggregates (TopKPairsAggregate, SimHashAgg) plan as
+    // ObjectHashAggregate, whose sort-based fallback triggers at 128 (!)
+    // distinct keys per partition — silently re-introducing the full-stream
+    // external sort those aggregates exist to avoid (measured: the IVF
+    // probe-join stream at the sf100 probe is ~4×10⁹ rows; the fallback
+    // sort exhausted 60 GB of spill disk while the k-slot hash buffers
+    // would have needed ~15 MB/task). 2M keys × ~120 B (top-k buffer) ≈
+    // 240 MB/task bounds the worst case at bench core counts; partitions
+    // with even more distinct groups still degrade to sort, by design.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 21).toString)
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {
@@ -51,6 +62,8 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 21).toString)
     spark
   }
 }
