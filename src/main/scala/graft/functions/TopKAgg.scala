@@ -15,6 +15,17 @@ import org.apache.spark.sql.types._
  * total order as `row_number() OVER (ORDER BY score DESC, id ASC)`.
  * Insertion is a linear scan + shift: k is a small constant (top-3/top-10),
  * so this beats any heap bookkeeping.
+ *
+ * Insertion DEDUPES on id: a candidate id already buffered is never given a
+ * second slot. This is what lets the LSH top-k path feed the raw multi-table
+ * candidate stream straight into the aggregate with NO upstream
+ * `distinct()` — at scale that distinct is a shuffle of the entire
+ * join-amplified pair stream (billions of rows at the sf100 probe) for an
+ * output the k-slot buffers reduce to n·k rows anyway. Callers' scores are
+ * a pure function of (group, id) (cosine of a fixed pair), so a duplicate
+ * id arrives with a bit-identical score and the first occurrence is kept;
+ * the different-score case is still handled (best occurrence wins) so the
+ * buffer never silently depends on that purity.
  */
 private[graft] final class TopKPairsBuffer(val k: Int) {
   var n: Int = 0
@@ -23,11 +34,24 @@ private[graft] final class TopKPairsBuffer(val k: Int) {
 
   def insert(id: Long, score: Double): Unit = {
     var i = 0
-    while (i < n && !(score > scores(i) || (score == scores(i) && id < ids(i))))
+    while (i < n && !(score > scores(i) || (score == scores(i) && id < ids(i)))) {
+      // an existing occurrence at least as good as the incoming one — the
+      // scan only passes slots the incoming entry does not beat
+      if (ids(i) == id) return
       i += 1
-    if (i < k) {
-      var j = math.min(n, k - 1)
-      while (j > i) { ids(j) = ids(j - 1); scores(j) = scores(j - 1); j -= 1 }
+    }
+    // the same id below the insertion point (strictly worse score) must
+    // vacate its slot rather than survive as a duplicate
+    var dup = -1
+    var j = i
+    while (j < n && dup < 0) { if (ids(j) == id) dup = j; j += 1 }
+    if (dup >= 0) {
+      var m = dup
+      while (m > i) { ids(m) = ids(m - 1); scores(m) = scores(m - 1); m -= 1 }
+      ids(i) = id; scores(i) = score
+    } else if (i < k) {
+      var m = math.min(n, k - 1)
+      while (m > i) { ids(m) = ids(m - 1); scores(m) = scores(m - 1); m -= 1 }
       ids(i) = id; scores(i) = score
       if (n < k) n += 1
     }

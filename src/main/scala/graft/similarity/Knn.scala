@@ -158,13 +158,23 @@ object Knn {
     * both orders; with a multi-probe query side, same-bucket pairs still
     * appear in both orders (element 0 of every probe sequence is the base
     * key) and probe pairs appear query-first — exactly the side top-k
-    * consumers read as the query. */
-  private def keyedPairs(query: DataFrame, index: DataFrame): DataFrame = {
+    * consumers read as the query.
+    *
+    * `dedup = false` skips the `distinct()`: the same pair colliding in
+    * several tables (or via several probe keys) then reaches the consumer
+    * once per collision. Pair-OUTPUT consumers (near-dup) need the
+    * distinct; the top-k path does not — [[graft.functions.TopKPairsBuffer]]
+    * dedupes on insert, so skipping the distinct removes a shuffle of the
+    * ENTIRE candidate stream (billions of rows at the sf100 probe) while
+    * producing a bit-identical top-k. */
+  private def keyedPairs(query: DataFrame, index: DataFrame,
+                         dedup: Boolean = true): DataFrame = {
     val a = query.select(col("table_idx"), col("bucket"), col("__id").as("left_id"))
     val b = index.select(col("table_idx"), col("bucket"), col("__id").as("right_id"))
-    a.join(b, Seq("table_idx", "bucket"))
+    val joined = a.join(b, Seq("table_idx", "bucket"))
       .filter(col("left_id") =!= col("right_id"))
-      .select("left_id", "right_id").distinct()
+      .select("left_id", "right_id")
+    if (dedup) joined.distinct() else joined
   }
 
   /** Same-bucket candidate id pairs (both orders) from a keyed table. */
@@ -203,7 +213,8 @@ object Knn {
    */
   private def guardedCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
                                     dims: Int, planes: Int, tables: Int,
-                                    cap: Int, probes: Int = 0): (DataFrame, Boolean) = {
+                                    cap: Int, probes: Int = 0,
+                                    dedup: Boolean = true): (DataFrame, Boolean) = {
     val keyed = hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // multi-probe widens only the QUERY side of the candidate join; the
@@ -223,7 +234,7 @@ object Knn {
       s"lsh.bucketCap(cap=$cap).capActive", capActive)
     if (!capActive) {
       bigK.unpersist()
-      (graft.core.OperatorCaches.owned(keyedPairs(query, keyed), Seq(keyed)), false)
+      (graft.core.OperatorCaches.owned(keyedPairs(query, keyed, dedup), Seq(keyed)), false)
     } else {
       val w = OverCapChunkWidth
       val under = keyed.join(broadcast(bigK.select(keys.map(col): _*)), keys, "left_anti")
@@ -256,7 +267,9 @@ object Knn {
       // query side joins the UNDER-cap index only: over-cap (table, bucket)
       // keys have no index rows, so this reduces to bucketPairs(under) when
       // probes = 0 and adds probe pairs into under-cap buckets otherwise
-      val pairs = keyedPairs(query, under).union(within).union(linksBoth).distinct()
+      val raw = keyedPairs(query, under, dedup = false)
+        .union(within).union(linksBoth)
+      val pairs = if (dedup) raw.distinct() else raw
       (graft.core.OperatorCaches.owned(pairs, Seq(keyed, bigK)), true)
     }
   }
@@ -272,16 +285,18 @@ object Knn {
   def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
                     planes: Int, tables: Int,
                     maxBucketSize: Option[Int] = None,
-                    probes: Int = 0): DataFrame =
+                    probes: Int = 0,
+                    dedup: Boolean = true): DataFrame =
     maxBucketSize match {
       case None =>
         val keyed = hyperplaneKeyed(vecs, idCol, vecCol, dims, planes, tables)
         val query =
           if (probes <= 0) keyed
           else probeKeyed(vecs, idCol, vecCol, dims, planes, tables, probes)
-        keyedPairs(query, keyed)
+        keyedPairs(query, keyed, dedup)
       case Some(cap) =>
-        guardedCandidatePairs(vecs, idCol, vecCol, dims, planes, tables, cap, probes)._1
+        guardedCandidatePairs(vecs, idCol, vecCol, dims, planes, tables, cap, probes,
+          dedup)._1
     }
 
   /** Ordered neighbor pairs among ids with an IDENTICAL embedding — the
@@ -332,13 +347,19 @@ object Knn {
     // subject, are untouched.
     val pr = if (probes >= 0) probes else pl
     graft.core.Decisions.record(s"lsh.probes(planes=$pl)", pr)
-    // recovery only runs when a bucket actually exceeded the cap
+    // recovery only runs when a bucket actually exceeded the cap. The whole
+    // candidate stream flows WITHOUT a distinct(): [[TopKPairsBuffer]]
+    // dedupes candidate ids on insert, so cross-table/cross-probe collisions
+    // (and cap-recovery overlaps) cost one extra buffer probe each instead
+    // of a full-stream shuffle — the dominant knn2 stage at the sf100 probe.
     val cands = maxBucketSize match {
-      case None => lshCandidates(vecs, idCol, vecCol, dims, pl, tables, probes = pr)
+      case None =>
+        lshCandidates(vecs, idCol, vecCol, dims, pl, tables, probes = pr, dedup = false)
       case Some(cap) =>
-        val (lsh, capped) = guardedCandidatePairs(vecs, idCol, vecCol, dims, pl, tables, cap, pr)
+        val (lsh, capped) = guardedCandidatePairs(vecs, idCol, vecCol, dims, pl, tables,
+          cap, pr, dedup = false)
         if (!capped) lsh
-        else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k)).distinct()
+        else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k))
     }
     val v = withNorm(vecs, idCol, vecCol, "__id", "__v", "__n")
     val scored = cands

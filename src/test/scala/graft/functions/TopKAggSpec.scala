@@ -63,6 +63,32 @@ class TopKAggSpec extends SparkSpecBase {
     assert(out(1).getLong(1) == 11L && out(1).getInt(2) == 2)
   }
 
+  test("duplicate candidates collapse to one slot (distinct-free streams)") {
+    // the LSH path feeds the raw multi-table candidate stream with NO
+    // upstream distinct(); a pair colliding in several tables arrives once
+    // per collision with a bit-identical score and must not eat extra slots
+    val dups = scored.union(scored).union(scored.limit(700))
+    for (k <- Seq(1, 3, 7)) {
+      val a = aggTopK(dups, k).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val w = windowTopK(scored, k).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(a == w, s"k=$k duplicated-stream mismatch")
+    }
+  }
+
+  test("different-score duplicate keeps the best occurrence, never two slots") {
+    val buf = new TopKPairsBuffer(3)
+    buf.insert(10L, 0.5); buf.insert(11L, 0.4); buf.insert(12L, 0.3)
+    buf.insert(11L, 0.9) // defensive path: same id, better score
+    assert(buf.n == 3)
+    assert(buf.ids.take(3).toSeq == Seq(11L, 10L, 12L))
+    assert(buf.scores.take(3).toSeq == Seq(0.9, 0.5, 0.3))
+    buf.insert(11L, 0.1) // worse occurrence of a buffered id: ignored
+    assert(buf.ids.take(3).toSeq == Seq(11L, 10L, 12L))
+    assert(buf.scores.take(3).toSeq == Seq(0.9, 0.5, 0.3))
+  }
+
   test("plan is a hash aggregate, not a sort + window") {
     val plan = aggTopK(scored, 3).queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), "bounded buffer must hash-aggregate")
