@@ -28,6 +28,16 @@ object GraftSession {
     // cores, size-first coalescing (false) collapsed the heavy aggregations
     // to single advisory-sized tasks and cost ~20% total bench time
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+    // Start AQE shuffles WIDE (8× the local core count) and let runtime
+    // coalescing shrink them: with shuffle.partitions pinned at the core
+    // count, a 10×-data step makes every sort-merge partition 10× larger
+    // until it spills — at the sf100 probe the j1 sentinel went 14× for
+    // 10× data purely from SMJ spill at width 32. Wide-then-coalesce keeps
+    // per-partition sorts memory-sized at large sf while AQE collapses the
+    // extra partitions at small sf (parallelismFirst above keeps the
+    // small-sf floor at the core count, so this is spill insurance, not a
+    // small-scale regression).
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
