@@ -8,6 +8,9 @@ object Bench {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // backstop for the between-query System.gc() below: reclaim
+        // dropped shuffle files at most 2 min stale even mid-query
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,7 +61,15 @@ object Bench {
               System.err.println(s"[bench] QUERY FAILED: $name — ${t.getClass.getSimpleName}: ${t.getMessage}")
               false
           }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Shuffle files are reclaimed only when the driver GCs the shuffle
+        // dependencies (ContextCleaner); with a large pinned heap the JVM
+        // may not GC for a whole rep, so a heavy suite accumulates every
+        // query's shuffle output on disk — at the sf100 probe the LAST
+        // query of the rep died ENOSPC on its own (modest) shuffle write.
+        // A forced GC between queries runs OUTSIDE the timed window.
+        System.gc()
+        name -> (if (ok) Some(elapsed) else None)
       }.toMap
     // Wave guard (see tools/WaveGuard): every rep is bracketed by a timed j1
     // sentinel; reps whose bracketing sentinels exceed 3× the session-best

@@ -361,8 +361,20 @@ object Knn {
         if (!capped) lsh
         else lsh.union(exactDupVectorPairs(vecs, idCol, vecCol, limit = k))
     }
+    // Dedup the raw stream in ONE cheap exchange, placed BEFORE any vector
+    // payload attaches: repartitioning the 16-byte pair rows by left_id
+    // co-locates every copy of a pair, so dropDuplicates needs no further
+    // exchange (hash partitioning on left_id satisfies the clustered
+    // distribution on (left_id, right_id)) and the left-norm join below
+    // reuses the same partitioning. The alternatives both lose at scale: a
+    // plain distinct() on the union adds a second full pair exchange, and
+    // no dedup at all (buffer-only) quadruples the ~550-byte/row
+    // pairs+vector exchange feeding the right-norm join — the measured
+    // sf100 disk-exhaustion failure of the distinct-free first cut.
+    val deduped = cands.repartition(col("left_id"))
+      .dropDuplicates("left_id", "right_id")
     val v = withNorm(vecs, idCol, vecCol, "__id", "__v", "__n")
-    val scored = cands
+    val scored = deduped
       .join(v.toDF("left_id", "__vl", "__nl"), "left_id")
       .join(v.toDF("right_id", "__vr", "__nr"), "right_id")
       .withColumn("cosine", pairCosine(col("__vl"), col("__nl"), col("__vr"), col("__nr")))
