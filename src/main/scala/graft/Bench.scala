@@ -13,6 +13,7 @@ object Bench {
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
+    graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Materialize through the noop sink: every column of every row is
     // produced and handed to the writer, so projection-only queries are

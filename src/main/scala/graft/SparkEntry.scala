@@ -201,15 +201,25 @@ object SparkEntry {
       val flag = Seq("l_returnflag")
       // cumulative multiset positions: row covers 0-based indices
       // [__start, __end) of its group's sorted-with-frequency multiset
+      // r8 pass fusion: the per-group multiset size (totalCol) rides the
+      // cumulate sort's own WindowExec, so the bounds pass needs no totals
+      // aggregation + broadcast join — the persisted table now has exactly
+      // two aggregate consumers (bounds is index arithmetic + one agg).
+      // NOT cumulateRangeParallel here: measured at sf0.1/local its extra
+      // exchange + range-sampling pass costs more than the 3-task sort it
+      // parallelizes (profile in BENCH_NOTES); it becomes the right shape
+      // when per-group value domains outgrow one task's spillable sort
+      // (≥10⁸ distinct values — the ExactQuantiles scaladoc boundary).
       val cum = ExactQuantiles.cumulate(
           ExactQuantiles.compact(T(s, dir, "lineitem"), flag, "l_extendedprice"),
-          flag, "l_extendedprice")
+          flag, "l_extendedprice", totalCol = Some("__n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def vAt(idx: Column): Column = ExactQuantiles.valueAt(idx, "l_extendedprice")
       def interp(pos: Column, lo: Column, hi: Column, vLo: Column, vHi: Column): Column =
         ExactQuantiles.interpolate(pos, lo, hi, vLo, vHi)
       val bounds = ExactQuantiles.quantilesOfCumulated(cum, flag,
-        "l_extendedprice", Seq(0.01 -> "__lo", 0.99 -> "__hi"))
+        "l_extendedprice", Seq(0.01 -> "__lo", 0.99 -> "__hi"),
+        totalCol = Some("__n"))
       val btw = col("l_extendedprice").between(col("__lo"), col("__hi"))
       // greatest(…, 0) guards the single-pass variance against catastrophic
       // cancellation on near-constant groups (sqrt of a tiny negative → NaN

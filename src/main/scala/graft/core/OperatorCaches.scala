@@ -49,7 +49,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
  */
 object OperatorCaches {
 
-  private final case class Entry(result: LogicalPlan, intermediates: Seq[DataFrame])
+  private final class Entry(val result: LogicalPlan,
+                            val intermediates: Seq[DataFrame],
+                            var skipMatches: Int)
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -72,8 +74,18 @@ object OperatorCaches {
 
   /** Register `intermediates` (persisted DataFrames) to be unpersisted after
     * the first successful action whose plan contains `result`. Returns
-    * `result` unchanged. */
-  def owned(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    * `result` unchanged.
+    *
+    * `skipMatches`: number of matching actions to IGNORE before releasing —
+    * for operators that materialize their own result eagerly (the scoped-conf
+    * aggregate paths persist + count their output at call time): the internal
+    * count is a matching action, but the release must wait for the CALLER's
+    * first action or the cache dies before anyone reads it. Listener events
+    * arrive asynchronously but in execution order, so registering before the
+    * internal action with `skipMatches = 1` is race-free. Only safe when no
+    * FURTHER internal action consumes `result` after the skipped one. */
+  def owned(result: DataFrame, intermediates: Seq[DataFrame],
+            skipMatches: Int = 0): DataFrame = {
     if (disabled) return result
     val spark = result.sparkSession
     if (spark.sparkContext.isStopped) return result
@@ -90,7 +102,7 @@ object OperatorCaches {
       s.listenerManager.register(listener(s))
       java.util.Collections.synchronizedList(new java.util.ArrayList[Entry]())
     })
-    list.add(Entry(result.queryExecution.analyzed, intermediates))
+    list.add(new Entry(result.queryExecution.analyzed, intermediates, skipMatches))
     if (list.size() > PendingWarnThreshold && warned.add(spark)) {
       log.warn(
         s"OperatorCaches: ${list.size()} registrations pending release for this " +
@@ -140,8 +152,11 @@ object OperatorCaches {
           while (it.hasNext) {
             val e = it.next()
             if (plan.exists(_.sameResult(e.result))) {
-              e.intermediates.foreach(_.unpersist(false))
-              it.remove()
+              if (e.skipMatches > 0) e.skipMatches -= 1
+              else {
+                e.intermediates.foreach(_.unpersist(false))
+                it.remove()
+              }
             }
           }
         }

@@ -22,11 +22,15 @@ import graft.functions.TextFunctions
  */
 object SimHash {
 
-  /** (id, simhash BIGINT) per document — the fused
-    * [[graft.functions.SimHashAggregate]] accumulates all 64 sign-sums per
-    * token in one compiled loop (the 64-column sum(when(...)) form evaluated
-    * 64 branch expressions per token; same partial-agg shuffle shape). */
-  def fingerprints(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+  /** Per-partition key budget for the scoped ObjectHashAggregate fallback
+    * raise around the fingerprint aggregation: SimHashAggregate's buffer is
+    * a long[64] (~530 B with overhead) per document, so 2²⁰ keys bound the
+    * un-spillable hash state at ~530 MB/task worst case. */
+  private val SimHashAggFallbackKeys: Long = 1L << 20
+
+  /** The lazy fingerprint plan — see [[fingerprints]] for why the public
+    * entry point materializes instead of returning this directly. */
+  private def fingerprintsPlan(docs: DataFrame, idCol: String, text: Column): DataFrame = {
     val toks = docs.select(col(idCol).as("__id"),
       explode_outer(TextFunctions.tokens(text)).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
@@ -37,6 +41,29 @@ object SimHash {
         .toAggregateExpression())
     toks.groupBy("__id").agg(simhash.as("simhash"))
       .select(col("__id").as(idCol), col("simhash"))
+  }
+
+  /** (id, simhash BIGINT) per document — the fused
+    * [[graft.functions.SimHashAggregate]] accumulates all 64 sign-sums per
+    * token in one compiled loop (the 64-column sum(when(...)) form evaluated
+    * 64 branch expressions per token; same partial-agg shuffle shape).
+    *
+    * EAGER (r8): the per-doc output (one 16-byte row per document — tiny
+    * next to the token stream it reduces) is persisted and forced here,
+    * inside a scoped raise of the ObjectHashAggregate fallback threshold
+    * ([[graft.core.GraftSession.withObjectAggFallbackKeys]]): Spark's
+    * 128-keys-per-partition default would silently degrade the fused
+    * aggregate to an external sort of the ENTIRE exploded token stream, and
+    * the conf is read at action time, so a lazy plan would execute under
+    * whatever threshold the caller's session has. The cache is released
+    * after the caller's first action. */
+  def fingerprints(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val out = fingerprintsPlan(docs, idCol, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+    graft.core.GraftSession.withObjectAggFallbackKeys(
+      out.sparkSession, SimHashAggFallbackKeys) { out.count() }
+    out
   }
 
   /** Hamming distance between two packed fingerprints. */
@@ -71,9 +98,16 @@ object SimHash {
     val width = 64 / chunks
     // the fingerprint table feeds both join sides, the bucket-cap agg and the
     // distance-0 recovery — persist it so the explode+aggregate fingerprint
-    // pass runs once, not once per consumer
-    val fps = fingerprints(docs, idCol, text)
+    // pass runs once, not once per consumer. Forced HERE under the scoped
+    // fallback raise (not via the public eager [[fingerprints]]): this
+    // operator runs its own internal probe actions over the fingerprint
+    // table before the caller ever acts, and those would release a
+    // skip-once self-registration early — so the lifecycle stays with the
+    // owned(result, …) registration at the end of this method.
+    val fps = fingerprintsPlan(docs, idCol, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    graft.core.GraftSession.withObjectAggFallbackKeys(
+      docs.sparkSession, SimHashAggFallbackKeys) { fps.count() }
     val allKeyed = fps.select(col(idCol).as("__id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk_idx"),

@@ -17,15 +17,17 @@ import org.apache.spark.sql.types._
  * so this beats any heap bookkeeping.
  *
  * Insertion DEDUPES on id: a candidate id already buffered is never given a
- * second slot. This is what lets the LSH top-k path feed the raw multi-table
- * candidate stream straight into the aggregate with NO upstream
- * `distinct()` — at scale that distinct is a shuffle of the entire
- * join-amplified pair stream (billions of rows at the sf100 probe) for an
- * output the k-slot buffers reduce to n·k rows anyway. Callers' scores are
- * a pure function of (group, id) (cosine of a fixed pair), so a duplicate
- * id arrives with a bit-identical score and the first occurrence is kept;
- * the different-score case is still handled (best occurrence wins) so the
- * buffer never silently depends on that purity.
+ * second slot. In the LSH top-k path this is the SAFETY NET, not the primary
+ * dedup: `Knn.lshTopK` dedupes the candidate stream upstream with one cheap
+ * pre-score exchange (repartition + dropDuplicates on the bare pair rows,
+ * before any vector payload attaches), and the buffer's id-dedup covers any
+ * residual duplicates (e.g. a caller composing candidates without that
+ * exchange) so correctness never hangs on an upstream plan detail the
+ * aggregate cannot see. Callers' scores are a pure function of (group, id)
+ * (cosine of a fixed pair), so a duplicate id arrives with a bit-identical
+ * score and the first occurrence is kept; the different-score case is still
+ * handled (best occurrence wins) so the buffer never silently depends on
+ * that purity.
  */
 private[graft] final class TopKPairsBuffer(val k: Int) {
   var n: Int = 0

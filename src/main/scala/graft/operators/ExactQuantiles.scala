@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
  *     a query with few groups and a huge per-group value domain (a10's
  *     3 flags × ~9M synthetic distinct prices) runs the sort in that
  *     many tasks. Still spillable and sub-linear end-to-end (the one
- *     fact-table pass dominates), but if a real workload ever pairs
- *     single-digit groups with ≥10⁸ distinct values per group, the next
- *     step is range-partitioned prefix-sum ranking, not a bigger heap.
+ *     fact-table pass dominates). For single-digit groups with huge value
+ *     domains use [[cumulateRangeParallel]] (r8): the same output with the
+ *     sort range-partitioned across the cluster — parallelism decoupled
+ *     from the group count.
  *  3. [[quantilesOfCumulated]] — each requested quantile is "fetch the
  *     values covering multiset indices floor/ceil of p·(n−1)" — one
  *     conditional aggregation for all requested p at once.
@@ -77,12 +78,76 @@ object ExactQuantiles {
     * row per value first. */
   def cumulate(compacted: DataFrame, groupCols: Seq[String], valueCol: String,
                cntCol: String = "__cnt", startCol: String = "__start",
-               endCol: String = "__end"): DataFrame = {
+               endCol: String = "__end", totalCol: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    compacted
+    val cum = compacted
       .withColumn(endCol, sum(col(cntCol)).over(w))
       .withColumn(startCol, col(endCol) - col(cntCol))
+    // optional per-group multiset size, riding the SAME (partition, order)
+    // spec — WindowExec evaluates both frames off one sort, so consumers
+    // that need n (quantile index arithmetic) get it without a separate
+    // totals aggregation + broadcast join pass over the cumulated table
+    totalCol.fold(cum) { n =>
+      cum.withColumn(n, sum(col(cntCol)).over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    }
+  }
+
+  /**
+   * [[cumulate]] with the per-group sort RANGE-PARTITIONED across the
+   * cluster — same output rows, parallelism decoupled from the group count.
+   *
+   * [[cumulate]]'s window partitions by GROUP, so its sort parallelism IS
+   * the group count: a query with few groups and a huge per-group value
+   * domain (a10's 3 flags × ~10⁵ distinct prices per 0.1 sf, ~10⁸ at
+   * sf100) runs the dominant sort in single-digit tasks no matter how many
+   * executors the cluster has. Here the sort is split three ways:
+   *
+   *  1. `repartitionByRange(group, value)` — each range partition holds a
+   *     contiguous slice of one-or-more groups' value domains, so within a
+   *     group, partition order = value order.
+   *  2. a running-count window per (group, RANGE PARTITION) — many small
+   *     sorted slices in parallel instead of one sort per group.
+   *  3. per-(group, partition) totals, offset by a prefix-sum window over
+   *     the tiny (#partitions × #groups)-row totals table, broadcast back:
+   *     global index = local running count + offset of earlier slices.
+   *
+   * Exactness does not depend on where the sampled range boundaries fall —
+   * any split of a group's ordered domain yields the same global indices
+   * (the offsets absorb the boundary choice) — so AQE coalescing of the
+   * range shuffle (which only merges ADJACENT ranges) is also safe.
+   * Requires [[compact]]'s invariant (one row per (group, value)): a
+   * duplicated sort key could straddle a boundary and double-count.
+   *
+   * Both exchanges read the same range-partitioned child, which Spark's
+   * ReuseExchange collapses to one shuffle write. Prefer this variant
+   * whenever the group count is small relative to the cluster; [[cumulate]]
+   * remains for group-heavy shapes where the extra exchange buys nothing.
+   */
+  def cumulateRangeParallel(compacted: DataFrame, groupCols: Seq[String],
+                            valueCol: String, cntCol: String = "__cnt",
+                            startCol: String = "__start",
+                            endCol: String = "__end"): DataFrame = {
+    val gp = groupCols :+ "__pid"
+    val ranged = compacted
+      .repartitionByRange((groupCols.map(col) :+ col(valueCol)): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(gp.map(col): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__lend", sum(col(cntCol)).over(wLocal))
+    val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(gp.map(col): _*).agg(sum(col(cntCol)).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select((gp.map(col) :+ col("__off")): _*)
+    // column order matches [[cumulate]] (…, endCol, startCol) so the two
+    // variants are drop-in interchangeable
+    local.join(broadcast(offsets), gp)
+      .withColumn(endCol, col("__lend") + col("__off"))
+      .withColumn(startCol, col(endCol) - col(cntCol))
+      .select((compacted.columns.map(col) :+ col(endCol) :+ col(startCol)).toSeq: _*)
   }
 
   /** Aggregate expression: the value whose index range covers multiset
@@ -112,18 +177,26 @@ object ExactQuantiles {
   def quantilesOfCumulated(cum: DataFrame, groupCols: Seq[String],
                            valueCol: String, ps: Seq[(Double, String)],
                            cntCol: String = "__cnt", startCol: String = "__start",
-                           endCol: String = "__end"): DataFrame = {
+                           endCol: String = "__end",
+                           totalCol: Option[String] = None): DataFrame = {
     require(ps.nonEmpty, "at least one quantile required")
     ps.foreach { case (p, _) =>
       require(p >= 0.0 && p <= 1.0, s"quantile $p outside [0, 1]")
     }
-    // totals from the frequency column, NOT max(endCol): this branch then
-    // uses no window output, so Catalyst prunes the window away and an
-    // unpersisted `cum` costs only ONE per-group sort (in the main join
-    // branch) — asserted by ExactQuantilesSpec's plan test
-    val tot = cum.groupBy(groupCols.map(col): _*).agg(sum(col(cntCol)).as("__n"))
-    val withIdx = ps.zipWithIndex.foldLeft(
-      cum.join(broadcast(tot), groupCols)) { case (d, ((p, _), i)) =>
+    // `totalCol` (r8): a cum table already carrying its per-group multiset
+    // size (see [[cumulate]]'s totalCol) skips the totals aggregation AND
+    // its broadcast join — one whole pass fewer over the cumulated table.
+    // Otherwise totals come from the frequency column, NOT max(endCol):
+    // that branch then uses no window output, so Catalyst prunes the window
+    // away and an unpersisted `cum` costs only ONE per-group sort (in the
+    // main join branch) — asserted by ExactQuantilesSpec's plan test.
+    val withN = totalCol match {
+      case Some(n) => cum.withColumn("__n", col(n))
+      case None =>
+        val tot = cum.groupBy(groupCols.map(col): _*).agg(sum(col(cntCol)).as("__n"))
+        cum.join(broadcast(tot), groupCols)
+    }
+    val withIdx = ps.zipWithIndex.foldLeft(withN) { case (d, ((p, _), i)) =>
       d.withColumn(s"__p$i", (col("__n") - 1).cast("double") * lit(p))
         .withColumn(s"__l$i", floor(col(s"__p$i")))
         .withColumn(s"__h$i", ceil(col(s"__p$i")))
@@ -143,9 +216,12 @@ object ExactQuantiles {
   }
 
   /** Convenience: compact + cumulate + select in one call, for callers that
-    * do not reuse the cumulative table. */
+    * do not reuse the cumulative table. Uses the fused totals window (r8):
+    * the per-group size rides the cumulate sort, so the whole computation is
+    * one scan + one window + one aggregation — no totals pass. */
   def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 ps: Seq[(Double, String)]): DataFrame =
     quantilesOfCumulated(cumulate(compact(df, groupCols, valueCol), groupCols,
-      valueCol), groupCols, valueCol, ps)
+      valueCol, totalCol = Some("__n")), groupCols, valueCol, ps,
+      totalCol = Some("__n"))
 }

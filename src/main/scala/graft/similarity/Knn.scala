@@ -74,22 +74,48 @@ object Knn {
       .select("left_id", "right_id", "cosine")
   }
 
+  /** Per-partition key budget for the scoped ObjectHashAggregate fallback
+    * raise around [[topKByAgg]]'s materialization: the k-slot buffer is
+    * ~16·k + 64 bytes per key (k ≤ 10 in every caller → ≤ ~224 B), so 2²¹
+    * keys bound the un-spillable hash state at ~470 MB/task worst case —
+    * and a partition with even more distinct queries still degrades to
+    * sort, by design. */
+  private val TopKAggFallbackKeys: Long = 1L << 21
+
   /** (query_id, neighbor_id, rank, cosine) top-k per query via the bounded
     * [[graft.functions.TopKPairsAggregate]] — hash aggregation with a k-slot
     * buffer per query, NO sort of the scored stream. The window
     * (`row_number() <= k`) formulation sorts the full map-side stream before
     * WindowGroupLimit can prune it; on join-amplified streams (IVF cell
     * self-join: n·nProbe·(n/cells) rows) that sort's spill is what died at
-    * the sf100 probe (~2 TB > any local disk). Ordering replicates the
-    * window form bit-for-bit: (cosine DESC, neighbor_id ASC). */
+    * the sf100 probe (~2 TB > any local disk).  Ordering replicates the
+    * window form bit-for-bit: (cosine DESC, neighbor_id ASC).
+    *
+    * EAGER (r8): the n·k output is persisted and forced here, inside a
+    * scoped raise of the ObjectHashAggregate fallback threshold
+    * ([[graft.core.GraftSession.withObjectAggFallbackKeys]]) — Spark's
+    * 128-keys-per-partition default would silently degrade the k-slot hash
+    * aggregation back to a full-stream external sort, and the conf is read
+    * at action time, so a lazy plan handed to the caller would execute
+    * under whatever threshold the session then has. The cache is released
+    * after the caller's first action ([[graft.core.OperatorCaches]] with
+    * one skip for the internal force). */
   private def topKByAgg(scored: DataFrame, k: Int): DataFrame = {
     val top = ColumnBridge.column(graft.functions.TopKPairsAggregate(
       ColumnBridge.expression(col("neighbor_id")),
       ColumnBridge.expression(col("cosine")), k).toAggregateExpression())
-    scored.groupBy("query_id").agg(top.as("__top"))
+    val out = scored.groupBy("query_id").agg(top.as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
       .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
         (col("__p") + 1).cast("int").as("rank"), col("__t.cosine").as("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // register BEFORE the force: listener events arrive in execution order,
+    // so skipMatches = 1 lets the internal count pass and the caller's first
+    // action release the cache
+    graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+    graft.core.GraftSession.withObjectAggFallbackKeys(
+      out.sparkSession, TopKAggFallbackKeys) { out.count() }
+    out
   }
 
   /** Exact top-k neighbors for every query vector (excludes self-matches on id). */
@@ -347,11 +373,15 @@ object Knn {
     // subject, are untouched.
     val pr = if (probes >= 0) probes else pl
     graft.core.Decisions.record(s"lsh.probes(planes=$pl)", pr)
-    // recovery only runs when a bucket actually exceeded the cap. The whole
-    // candidate stream flows WITHOUT a distinct(): [[TopKPairsBuffer]]
-    // dedupes candidate ids on insert, so cross-table/cross-probe collisions
-    // (and cap-recovery overlaps) cost one extra buffer probe each instead
-    // of a full-stream shuffle — the dominant knn2 stage at the sf100 probe.
+    // recovery only runs when a bucket actually exceeded the cap. Candidate
+    // dedup happens in TWO layers with distinct jobs: the PRIMARY dedup is
+    // the one cheap pre-score exchange below (repartition + dropDuplicates
+    // on the bare 16-byte pair rows, before any vector payload attaches);
+    // [[TopKPairsBuffer]]'s id-dedup-on-insert is the SAFETY NET for any
+    // residual duplicates reaching the aggregate. Neither alone: buffer-only
+    // quadruples the ~550-byte pairs+vector exchange (the measured sf100
+    // disk-exhaustion failure), and exchange-only would make correctness
+    // hang on an upstream plan detail the aggregate cannot see.
     val cands = maxBucketSize match {
       case None =>
         lshCandidates(vecs, idCol, vecCol, dims, pl, tables, probes = pr, dedup = false)
@@ -478,8 +508,15 @@ object Knn {
     // the assignment scoring run once, not once per consumer
     val pruned = (if (literalPath) {
       // ascending-id order is load-bearing: NearestCells breaks distance
-      // ties by matrix position, replicating (dist asc, cell_id asc)
-      val rows = centroids.orderBy(col("cell_id")).collect()
+      // ties by matrix position, replicating (dist asc, cell_id asc).
+      // The Lloyd loop's per-id assignment aggregates (min_by/first over an
+      // array column) are ObjectHashAggregates with ~2-vector (~1 KB)
+      // per-key state; the scoped raise keeps them hash-based for the
+      // training sample (≤ max(8192, 8·nCells) ≤ 2¹⁹ keys — which is also
+      // the memory bound: ≤ ~512 MB worst case, and the sample cap keeps
+      // real partitions far below it).
+      val rows = graft.core.GraftSession.withObjectAggFallbackKeys(
+        v.sparkSession, 1L << 19) { centroids.orderBy(col("cell_id")).collect() }
       val ids = rows.map(_.getLong(0)).toSeq
       val cents = rows.map(_.getSeq[Double](1)).toSeq
       v.select(col("__id"), col("__v"),
@@ -505,8 +542,11 @@ object Knn {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", pairCosine(col("__qv"), col("__qn"), col("__nv"), col("__nn")))
       .select("query_id", "neighbor_id", "cosine")
-    graft.core.OperatorCaches.owned(
-      topKByAgg(scored, k).select("query_id", "neighbor_id", "rank", "cosine"),
-      Seq(pruned))
+    // topKByAgg is eager (persists + forces its n·k output), so `pruned` is
+    // fully consumed by the time it returns — release it here instead of
+    // waiting for the caller's action
+    val top = topKByAgg(scored, k)
+    pruned.unpersist(false)
+    top.select("query_id", "neighbor_id", "rank", "cosine")
   }
 }

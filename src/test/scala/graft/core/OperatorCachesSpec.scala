@@ -84,6 +84,27 @@ class OperatorCachesSpec extends SparkSpecBase {
     assert(rdd.count() === 1L, "released result must still recompute correctly")
   }
 
+  test("skipMatches=1 survives the operator's own force, releases on the caller's") {
+    // the scoped-conf aggregate paths (Knn.topKByAgg, SimHash.fingerprints)
+    // persist + force their own output before returning it; the internal
+    // force is a matching action that must NOT release the cache
+    import spark.implicits._
+    OperatorCaches.releaseAll(spark)
+    val out = Seq(1, 2, 3).toDF("x").select((col("x") * 2).as("y")).persist()
+    OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+    out.count() // the operator's internal force — consumed by the skip
+    // the skip is consumed asynchronously; wait for the event, then confirm
+    // the entry is still pending and the cache still live
+    Thread.sleep(500)
+    assert(OperatorCaches.pending(spark) === 1,
+      "internal force released the entry despite skipMatches = 1")
+    assert(out.storageLevel.useMemory || out.storageLevel.useDisk,
+      "cache was dropped before the caller's action")
+    assert(out.count() === 3L) // the caller's first action
+    assert(await(OperatorCaches.pending(spark) == 0),
+      "caller's action after the skip did not release the entry")
+  }
+
   test("never-materialized results trip the pending-growth warning once") {
     import spark.implicits._
     OperatorCaches.releaseAll(spark)

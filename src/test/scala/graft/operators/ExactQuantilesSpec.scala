@@ -85,6 +85,28 @@ class ExactQuantilesSpec extends SparkSpecBase {
     assert(windows == 1, s"expected exactly 1 Window node, found $windows:\n$plan")
   }
 
+  test("cumulateRangeParallel emits exactly cumulate's rows (r8 parallel sort)") {
+    val rnd = new scala.util.Random(31)
+    // multiple groups, duplicated values (freq > 1), enough distinct values
+    // to straddle several range partitions at the test session's width
+    val compacted = ExactQuantiles.compact(
+      (1 to 4000).map(i => (s"g${i % 3}", math.floor(rnd.nextDouble() * 300)))
+        .toDF("g", "v"), Seq("g"), "v")
+    val want = ExactQuantiles.cumulate(compacted, Seq("g"), "v")
+      .collect().map(_.toSeq).toSet
+    val got = ExactQuantiles.cumulateRangeParallel(compacted, Seq("g"), "v")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // and the quantiles read off it are bit-identical to the window form
+    val a = ExactQuantiles.quantilesOfCumulated(
+      ExactQuantiles.cumulateRangeParallel(compacted, Seq("g"), "v"),
+      Seq("g"), "v", ps).collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val b = ExactQuantiles.quantilesOfCumulated(
+      ExactQuantiles.cumulate(compacted, Seq("g"), "v"),
+      Seq("g"), "v", ps).collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(a === b)
+  }
+
   test("NULL values are ignored, matching percentile") {
     val df = Seq("a" -> Some(1.0), "a" -> None, "a" -> Some(2.0),
       "a" -> Some(3.0), "a" -> None, "b" -> None).toDF("g", "v")
