@@ -49,13 +49,16 @@ object PlanAudit {
         "bounds broadcast back onto compacted table" -> "BroadcastHashJoin",
         "map-side compaction of the fact scan" -> "partial_count",
         // consumer count of the persisted cumulated table, pinned: the
-        // quantile bounds branch scans it twice (totals + covering-value
-        // probe), the trimmed-moments aggregate once, and the fused
-        // median-probe/final pass once — FOUR. The round-6 shape had a
-        // fifth (separate median indices + a final m⋈median join); a
-        // regression to it shows up here as a fifth details-header scan.
-        "exactly 4 consumers of the cached cumulated table" ->
-          "=4:\\(\\d+\\) InMemoryTableScan")),
+        // quantile bounds branch scans it ONCE (per-group totals ride the
+        // cumulate window's own sort — ExactQuantiles totalCol, r8), the
+        // trimmed-moments aggregate once, and the fused median-probe/final
+        // pass once — THREE. The round-7 shape had a fourth (separate
+        // totals aggregation + broadcast join in the bounds branch), the
+        // round-6 shape a fifth (separate median indices + a final
+        // m⋈median join); a regression to either shows up here as extra
+        // details-header scans.
+        "exactly 3 consumers of the cached cumulated table" ->
+          "=3:\\(\\d+\\) InMemoryTableScan")),
       // the adaptive bucket cap probed this corpus, found no over-cap bucket
       // and must short-circuit to the PLAIN banded plan: no residual
       // anti-join, no recovery union, and no sort-merge join anywhere. The

@@ -87,6 +87,49 @@ object WaveGuard {
     flagged.size > maxFlagged
 
   /**
+   * Sentinel-bracketed SOLO re-measurement of [[spreadFlagged]] queries.
+   *
+   * A spread flag means the kept median is inflated by a mid-rep host wave
+   * the sentinel bracket could not see — the number is wrong, and the r7
+   * sf100 probe showed the artifact then ships with a footnote instead of a
+   * fix (dedup3: flagged median 50.1 s vs 10.2 s solo). This closes the
+   * loop: each flagged query re-runs ALONE between two fresh sentinels; the
+   * solo time is accepted only when both brackets are healthy (within
+   * `factor` × the running anchor — the session minimum, updated with every
+   * sentinel observed here, since waves only inflate). A query whose
+   * brackets stay dirty for `maxAttemptsPerQuery` tries keeps its original
+   * (flagged) median — an honest inflated number beats a silently wave-hit
+   * replacement.
+   *
+   * Pure bookkeeping (timers injected), same contract as [[collect]]:
+   * `runQuery` returns None on query failure (never substituted),
+   * `sentinel()` returns the bracketing query's seconds.
+   */
+  def soloRerun(flagged: Seq[String], anchor: Double,
+                sentinel: () => Double,
+                runQuery: String => Option[Double],
+                factor: Double = 3.0,
+                maxAttemptsPerQuery: Int = 2): Map[String, Double] = {
+    var a = anchor
+    flagged.flatMap { name =>
+      var accepted: Option[Double] = None
+      var tries = 0
+      while (accepted.isEmpty && tries < maxAttemptsPerQuery) {
+        tries += 1
+        val before = sentinel()
+        val t = runQuery(name)
+        val after = sentinel()
+        // evaluate with the anchor INCLUDING both new observations — a
+        // healthier sentinel here exposes an inflated seed anchor, exactly
+        // the bootstrap-wave rule collect() applies
+        a = math.min(a, math.min(before, after))
+        if (before <= a * factor && after <= a * factor) accepted = t
+      }
+      accepted.map(name -> _)
+    }.toMap
+  }
+
+  /**
    * Collect `target` wave-clean reps, spending at most `maxAttempts` suite
    * runs. `sentinel()` runs the sentinel query and returns its seconds;
    * `rep()` runs one full suite rep.

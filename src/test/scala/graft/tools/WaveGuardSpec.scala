@@ -125,4 +125,55 @@ class WaveGuardSpec extends AnyFunSuite {
     assert(o.reps == Vector(1, 4))
     assert(o.wavesDetected == 2)
   }
+
+  /** Scripted solo rerun: sentinel times and per-query solo times replay
+    * from queues, so the accept/retry/give-up policy is exercised without a
+    * host stall. */
+  private def rerun(flagged: Seq[String], anchor: Double,
+                    sentinels: Seq[Double],
+                    solos: Map[String, Seq[Option[Double]]],
+                    maxAttempts: Int = 2) = {
+    val sIt = sentinels.iterator
+    val qIt = scala.collection.mutable.Map(
+      solos.view.mapValues(_.iterator).toSeq: _*)
+    WaveGuard.soloRerun(flagged, anchor, () => sIt.next(),
+      name => qIt(name).next(), maxAttemptsPerQuery = maxAttempts)
+  }
+
+  test("solo rerun: healthy brackets substitute the solo time") {
+    val subs = rerun(Seq("dedup3"), anchor = 1.2,
+      sentinels = Seq(1.25, 1.3),
+      solos = Map("dedup3" -> Seq(Some(10.2))))
+    assert(subs == Map("dedup3" -> 10.2))
+  }
+
+  test("solo rerun: a dirty bracket retries; persistent waves keep the original") {
+    // attempt 1 bracketed by a 40 s sentinel → discarded; attempt 2 healthy
+    val recovered = rerun(Seq("dedup3"), anchor = 1.2,
+      sentinels = Seq(1.25, 40.0, 1.3, 1.2),
+      solos = Map("dedup3" -> Seq(Some(50.0), Some(10.2))))
+    assert(recovered == Map("dedup3" -> 10.2))
+    // both attempts dirty → no substitution (caller keeps the flagged median)
+    val exhausted = rerun(Seq("dedup3"), anchor = 1.2,
+      sentinels = Seq(40.0, 41.0, 39.5, 40.5),
+      solos = Map("dedup3" -> Seq(Some(50.0), Some(48.0))))
+    assert(exhausted.isEmpty)
+  }
+
+  test("solo rerun: a failed solo query is never substituted") {
+    val subs = rerun(Seq("q"), anchor = 1.2,
+      sentinels = Seq(1.2, 1.3, 1.25, 1.2),
+      solos = Map("q" -> Seq(None, None)))
+    assert(subs.isEmpty)
+  }
+
+  test("solo rerun: healthier sentinels here expose an inflated seed anchor") {
+    // seed anchor 40 s (the whole main run rode a wave plateau that the
+    // contamination verdicts missed); solo sentinels at 1.2 s pull the
+    // anchor down, so a 39 s bracket is now correctly dirty
+    val subs = rerun(Seq("q"), anchor = 40.0,
+      sentinels = Seq(1.2, 39.0, 1.25, 1.3),
+      solos = Map("q" -> Seq(Some(45.0), Some(3.1))))
+    assert(subs == Map("q" -> 3.1))
+  }
 }
