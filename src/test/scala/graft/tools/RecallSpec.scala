@@ -2,6 +2,8 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpecBase
 
 /**
@@ -55,5 +57,74 @@ class RecallSpec extends SparkSpecBase {
   test("ngram1 (inverted index, doc-freq cap ON): pair recall at J >= 0.2 is exactly 1") {
     assert(measured("ngram1_pairs_exact") > 0, "degenerate: no true pairs to find")
     assert(measured("ngram1_pair_recall") == 1.0)
+  }
+
+  /**
+   * Saturated-bucket regime, pinned as a spec instead of prose (r7 verdict):
+   * when one near-identical cluster vastly exceeds the LSH bucket cap, the
+   * guard's bounded chunk degradation can only surface ~chunk/d of the exact
+   * top-3 SLOTS — exact-slot recall@3 reads low BY DESIGN (0.30 at the sf10
+   * replica corpus). The claim that makes that acceptable is that the
+   * substitutes are interchangeable: every retrieved neighbor sits within
+   * ~1e-8 cosine of the true top-3. This fixture (one 480-member cluster at
+   * jitter 1e-4 over a 16-cap, deterministic seed) asserts that claim — a
+   * regression in the chunk-degradation path (dropping over-cap buckets
+   * instead of degrading, or losing coverage of saturated members) now
+   * fails on the quality gap / coverage assertions instead of hiding behind
+   * "low recall is expected".
+   */
+  test("saturated cluster: chunk degradation covers every query with near-exact substitutes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val base = Array.fill(dims)(rnd.nextGaussian())
+    val cluster = (0L until 480L).map { i =>
+      (i, base.map(x => (x + 1e-4 * rnd.nextGaussian()).toFloat))
+    }
+    val background = (480L until 600L).map { i =>
+      (i, Array.fill(dims)(rnd.nextGaussian().toFloat))
+    }
+    val vecs = (cluster ++ background).toDF("vec_id", "embedding")
+      .repartition(4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = 16
+    val k = 3
+    val approx = graft.similarity.Knn.lshTopK(vecs, "vec_id", "embedding",
+        k = k, dims = dims, tables = 4, maxBucketSize = Some(cap))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // sample of cluster members as queries (the saturated population)
+    val qIds = (0L until 480L by 8).toSet
+    val truth = graft.similarity.Knn.bruteForceTopK(
+        vecs.filter(col("vec_id").isin(qIds.toSeq: _*)), vecs,
+        "vec_id", "embedding", k = k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approxQ = approx.filter(col("query_id").isin(qIds.toSeq: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // DEGRADE, not drop: every saturated query still gets its full k rows
+    val perQuery = approxQ.groupBy("query_id").count()
+      .select("count").as[Long].collect()
+    assert(perQuery.length == qIds.size,
+      s"only ${perQuery.length}/${qIds.size} saturated queries retrieved anything — over-cap buckets dropped?")
+    assert(perQuery.forall(_ == k),
+      s"some saturated query returned fewer than $k neighbors: ${perQuery.min}")
+
+    // the regime is real: exact-slot recall well below 1 on this corpus
+    // (deterministic — seeded fixture, seeded hyperplanes)
+    val recall = Recall.annRecallAtK(approxQ, truth)
+    assert(recall < 0.999,
+      s"recall@3 = $recall — the fixture no longer saturates the cap; raise the cluster size")
+
+    // ...and the substitutes are near-exact: mean per-query cosine gap
+    // between true top-3 and retrieved top-3 within 1e-5 (measured ~1e-8;
+    // a query with NO retrieved rows would contribute its full ~1.0 true
+    // cosine, so this bound also re-asserts coverage)
+    val gap = Recall.annQualityGap(approxQ, truth)
+    info(f"saturated fixture: recall@3 = $recall%.3f, quality gap = $gap%g")
+    assert(gap <= 1e-5,
+      s"quality gap $gap — chunk-degradation substitutes no longer near-exact")
+
+    vecs.unpersist(); approx.unpersist(); truth.unpersist(); approxQ.unpersist()
   }
 }
