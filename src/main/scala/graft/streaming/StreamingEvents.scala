@@ -99,6 +99,101 @@ object StreamingEvents {
       }
       .start()
 
+  /**
+   * foreachBatch NEAR-duplicate sink — [[graft.dedup.MinHash.nearDuplicates]]
+   * composed into the streaming surface the way [[exactDedupSink]] composes
+   * `Dedup.exact`: intra-batch near-dups collapse with the full batch
+   * operator (exact-Jaccard verification, cluster keeper = min id via
+   * [[graft.dedup.Dedup.connectedComponents]] — the same semantics as the
+   * batch dedup4 clusters), and cross-batch near-dups drop against a parquet
+   * SIGNATURE LEDGER of every previously kept document.
+   *
+   * Cross-batch state is the MinHash signature (k longs per kept doc), not
+   * the shingle sets — so ledger rows are constant-size and the cross-batch
+   * check is LSH-shaped end to end: batch docs and ledger docs band-join on
+   * [[graft.dedup.MinHash.bandKeys]] (recomputed from the stored signature —
+   * no band state persisted), and candidate pairs are scored by signature
+   * slot agreement, the standard unbiased MinHash estimate of Jaccard
+   * (P[slot agrees] = J, so `threshold` applies directly, ±1/√k). The
+   * deliberate asymmetry — exact Jaccard within a batch, estimated Jaccard
+   * across batches — is the state-size trade: exactness needs shingle sets,
+   * whose per-doc size is unbounded.
+   *
+   * The ledger is self-limiting: only documents that SURVIVED the check are
+   * appended, so near-duplicate families never accumulate — a ledger band
+   * bucket only holds mutually-dissimilar docs that happen to collide, which
+   * is what keeps the band join skew-safe without a cap as the stream ages.
+   *
+   * Sub-`n`-token (incl. empty) documents always pass: their pairwise
+   * Jaccard is 0 by convention (see [[graft.dedup.MinHash.nearDuplicates]]),
+   * their sentinel signatures never enter the ledger, and their identity
+   * dedup belongs to [[exactDedupSink]].
+   *
+   * Delivery matches [[exactDedupSink]]: at-least-once on retry, duplicates
+   * bounded by one failed batch, ledger append idempotent for later batches.
+   */
+  def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, outPath: String, ledgerPath: String,
+                  checkpointPath: String, n: Int = 3, bands: Int = 8,
+                  rowsPerBand: Int = 4, seed: Long = 42L,
+                  maxBucketSize: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val k = bands * rowsPerBand
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+        // (1) intra-batch: full batch operator (exact-Jaccard verified),
+        // cluster keeper = component min id
+        val pairs = graft.dedup.MinHash.nearDuplicates(b, idCol, col(textCol),
+          threshold, n, bands, rowsPerBand, seed, maxBucketSize, exactStar = true)
+        val comps = graft.dedup.Dedup.connectedComponents(pairs, "left_id", "right_id")
+        val intra = b.join(
+          comps.filter(col("node") =!= col("component"))
+            .select(col("node").as(idCol)),
+          Seq(idCol), "left_anti")
+
+        // (2) cross-batch: band-join batch signatures against the ledger,
+        // drop docs whose slot-agreement estimate reaches the threshold
+        val sigs = intra.withColumn("__sig",
+            graft.dedup.MinHash.signature(col(textCol), n, k, seed))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ledger =
+          try s.read.parquet(ledgerPath).select(col("__lsig"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.range(0).select(array().cast("array<bigint>").as("__lsig"))
+          }
+        // try_element_at: the first-batch ledger placeholder is a ZERO-length
+        // array (schema-only), where ANSI element_at throws; null =!= -1
+        // filters it out, which is exactly right
+        def banded(df: DataFrame, sigCol: String) =
+          df.filter(try_element_at(col(sigCol), lit(1)) =!= -1L)
+            .select(df.columns.map(col) :+
+              explode(graft.dedup.MinHash.bandKeys(col(sigCol), bands, rowsPerBand)).as("__b"): _*)
+            .select(df.columns.map(col) :+ col("__b.band_idx").as("band_idx")
+              :+ col("__b.band_hash").as("band_hash"): _*)
+        val est = aggregate(
+          zip_with(col("__sig"), col("__lsig"),
+            (a, c) => when(a === c, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(k)
+        val dropIds = banded(sigs.select(col(idCol), col("__sig")), "__sig")
+          .join(banded(ledger, "__lsig"), Seq("band_idx", "band_hash"))
+          .filter(est >= threshold)
+          .select(idCol).distinct()
+        val kept = sigs.join(dropIds, Seq(idCol), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+        // (3) survivors to the output, their signatures to the ledger
+        kept.drop("__sig").write.mode("append").parquet(outPath)
+        kept.filter(element_at(col("__sig"), 1) =!= -1L)
+          .select(col("__sig").as("__lsig"))
+          .write.mode("append").parquet(ledgerPath)
+        kept.unpersist(); sigs.unpersist(); b.unpersist()
+        ()
+      }
+      .start()
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -95,6 +95,46 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/ledger").distinct().count() == 3)
   }
 
+  test("nearDupSink: MinHash near-dup composed via foreachBatch, signature ledger spans batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardup-sink").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    // long shared template so doc pairs sit solidly above/below J = 0.5
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "distant river winds slowly through the quiet green valley at dawn"
+    val nearDup = base.replace("quiet", "silent") // J ≈ 0.9
+    val unrelated = "completely different subject matter entirely about " +
+      "compilers optimizing sparse matrix multiplication kernels on gpus"
+
+    val q = StreamingEvents.nearDupSink(docs, "doc_id", "text",
+      threshold = 0.5, outPath = s"$dir/out", ledgerPath = s"$dir/ledger",
+      checkpointPath = s"$dir/ckpt")
+    // batch 1: near-dup pair (1, 2) — keeper is component min id — plus an
+    // unrelated doc
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), base),
+      (2L, ts("2024-01-01 10:01:00"), nearDup),
+      (3L, ts("2024-01-01 10:02:00"), unrelated))
+    q.processAllAvailable()
+    // batch 2: near-dup of batch-1 content (must drop via the signature
+    // ledger — hours past any watermark) + a genuinely new doc
+    input.addData(
+      (4L, ts("2024-01-02 09:00:00"), nearDup),
+      (5L, ts("2024-01-02 09:01:00"), "fresh content about ocean tides " +
+        "and the gravitational influence of the moon on coastal waters"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L),
+      s"keeper set wrong: $kept — intra-batch keeper is component min id; " +
+        "cross-batch near-dups must drop against the signature ledger")
+    // ledger holds one constant-size signature per kept doc
+    assert(spark.read.parquet(s"$dir/ledger").count() == 3)
+  }
+
   test("dedupStream drops watermark-window duplicates by content fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
