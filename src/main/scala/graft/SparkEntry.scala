@@ -205,14 +205,16 @@ object SparkEntry {
       // cumulate sort's own WindowExec, so the bounds pass needs no totals
       // aggregation + broadcast join — the persisted table now has exactly
       // two aggregate consumers (bounds is index arithmetic + one agg).
-      // NOT cumulateRangeParallel here: measured at sf0.1/local its extra
-      // exchange + range-sampling pass costs more than the 3-task sort it
-      // parallelizes (profile in BENCH_NOTES); it becomes the right shape
-      // when per-group value domains outgrow one task's spillable sort
-      // (≥10⁸ distinct values — the ExactQuantiles scaladoc boundary).
-      val cum = ExactQuantiles.cumulate(
-          ExactQuantiles.compact(T(s, dir, "lineitem"), flag, "l_extendedprice"),
-          flag, "l_extendedprice", totalCol = Some("__n"))
+      // cumulateFromFact (r8): the plain cumulate window partitions by
+      // GROUP, so its sort parallelism is the group count — THREE tasks
+      // here no matter the cluster; measured at sf1/32 cores that boundary
+      // already dominates (12.0 s plain vs 5.9 s range-parallel), while at
+      // sf0.1 the range shape's extra exchange LOSES (4.0 vs 3.0 s). The
+      // two-tier probe (free metadata count, then one lightweight HLL pass
+      // only when the fact table is big enough for the choice to matter)
+      // picks per dataset. BENCH_NOTES "a10 shape" has the numbers.
+      val cum = ExactQuantiles.cumulateFromFact(
+          T(s, dir, "lineitem"), flag, "l_extendedprice", totalCol = Some("__n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def vAt(idx: Column): Column = ExactQuantiles.valueAt(idx, "l_extendedprice")
       def interp(pos: Column, lo: Column, hi: Column, vLo: Column, vHi: Column): Column =

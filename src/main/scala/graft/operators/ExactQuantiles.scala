@@ -129,7 +129,8 @@ object ExactQuantiles {
   def cumulateRangeParallel(compacted: DataFrame, groupCols: Seq[String],
                             valueCol: String, cntCol: String = "__cnt",
                             startCol: String = "__start",
-                            endCol: String = "__end"): DataFrame = {
+                            endCol: String = "__end",
+                            totalCol: Option[String] = None): DataFrame = {
     val gp = groupCols :+ "__pid"
     val ranged = compacted
       .repartitionByRange((groupCols.map(col) :+ col(valueCol)): _*)
@@ -139,15 +140,108 @@ object ExactQuantiles {
     val local = ranged.withColumn("__lend", sum(col(cntCol)).over(wLocal))
     val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(gp.map(col): _*).agg(sum(col(cntCol)).as("__ptot"))
+    // per-group totals ride the SAME tiny offsets table (and its one
+    // broadcast join) — the range-parallel twin of [[cumulate]]'s fused
+    // totals window, same cost argument: the table is #partitions × #groups
+    // rows, so the extra frame is free
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    val offsets0 = ranged.groupBy(gp.map(col): _*).agg(sum(col(cntCol)).as("__ptot"))
       .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
-      .select((gp.map(col) :+ col("__off")): _*)
-    // column order matches [[cumulate]] (…, endCol, startCol) so the two
-    // variants are drop-in interchangeable
+    val offsets = totalCol.fold(offsets0.select((gp.map(col) :+ col("__off")): _*)) { n =>
+      offsets0.withColumn(n, sum(col("__ptot")).over(wTot))
+        .select((gp.map(col) :+ col("__off") :+ col(n)): _*)
+    }
+    // column order matches [[cumulate]] (…, endCol, startCol[, totalCol]) so
+    // the two variants are drop-in interchangeable
     local.join(broadcast(offsets), gp)
       .withColumn(endCol, col("__lend") + col("__off"))
       .withColumn(startCol, col(endCol) - col(cntCol))
-      .select((compacted.columns.map(col) :+ col(endCol) :+ col(startCol)).toSeq: _*)
+      .select((compacted.columns.map(col) :+ col(endCol) :+ col(startCol)) ++
+        totalCol.map(col).toSeq: _*)
+  }
+
+  /** Per-group-sort size above which [[cumulateRangeParallel]] beats
+    * [[cumulate]] on a multi-core cluster. Measured (sf0.1/sf1 lineitem,
+    * 32 cores, BENCH_NOTES "a10 shape"): 198k rows/group → plain 3.0 s vs
+    * parallel 4.0 s (the extra exchange loses); 1.8M rows/group → plain
+    * 12.0 s vs parallel 5.9 s (three busy cores out of 32 lose bigger).
+    * 500k sits at the geometric middle of the bracketing measurements. */
+  val RangeParallelPerGroupRows = 500000L
+
+  /**
+   * [[cumulate]] with the sort strategy chosen from the DATA — an eager
+   * probe, same contract as the skew guards: two counting jobs run at call
+   * time. `compacted` MUST be persisted by the caller (the probe counts it,
+   * and the chosen shape re-reads it from cache; unpersisted, the fact scan
+   * would run three times).
+   *
+   * Plain per-group windowing sorts with parallelism = GROUP COUNT; when
+   * groups are fewer than the cluster's cores and the per-group domain is
+   * large, the dominant sort serializes onto a handful of tasks while the
+   * rest of the cluster idles. The range-parallel shape fixes exactly that
+   * but pays an extra full exchange + range-sampling pass, which loses when
+   * the domain is small. Neither is right unconditionally — the probe picks
+   * per dataset and records the choice (`Decisions`).
+   */
+  /** Fact-table rows below which the adaptive probe is skipped entirely:
+    * even a worst-case single-group all-distinct domain of this size sorts
+    * in roughly one task-second, comparable to what any probe job costs —
+    * below it, probing can never pay for itself. */
+  val FactRowsProbeThreshold = 2000000L
+
+  /**
+   * [[cumulate]] with the sort strategy chosen from the DATA — a two-tier
+   * eager probe over the FACT table (probe jobs run at call time, the same
+   * contract as the skew guards):
+   *
+   *  - Tier 1 (free): `fact.count()` — metadata-only under parquet
+   *    aggregate pushdown (enabled in GraftSession). At or below
+   *    [[FactRowsProbeThreshold]] rows the plain shape streams compact →
+   *    window in one pipeline: zero probe overhead where the probe could
+   *    never pay for itself.
+   *  - Tier 2: one LIGHTWEIGHT aggregation over the (column-pruned) fact
+   *    scan — `approx_count_distinct` of the compaction key and of the
+   *    group key — then the chosen shape streams from the fact table
+   *    uncached. HLL error (~2%) is irrelevant against a threshold with
+   *    order-of-magnitude bracketing measurements, and the probe scan is
+   *    far cheaper than the alternative (persisting the compacted table to
+   *    share one scan measured ~3 s of cache round-trip at sf1, versus
+   *    ~0.5 s for this two-column rescan — BENCH_NOTES "a10 shape").
+   *
+   * Decision rationale: plain per-group windowing sorts with parallelism =
+   * GROUP COUNT; when groups are fewer than the cluster's cores and the
+   * per-group domain exceeds [[RangeParallelPerGroupRows]], the dominant
+   * sort serializes onto a handful of tasks while the rest of the cluster
+   * idles — exactly what [[cumulateRangeParallel]] fixes, at the price of
+   * an extra full exchange that LOSES on small domains. The probe picks per
+   * dataset and records the choice (`Decisions`).
+   */
+  def cumulateFromFact(fact: DataFrame, groupCols: Seq[String],
+                       valueCol: String, cntCol: String = "__cnt",
+                       startCol: String = "__start", endCol: String = "__end",
+                       totalCol: Option[String] = None): DataFrame = {
+    val nFact = fact.count()
+    val compacted = compact(fact, groupCols, valueCol, cntCol)
+    val parallel = nFact > FactRowsProbeThreshold && {
+      val row = fact.filter(col(valueCol).isNotNull).agg(
+        approx_count_distinct(struct((groupCols :+ valueCol).map(col): _*)),
+        approx_count_distinct(struct(groupCols.map(col): _*))).head()
+      val n = row.getLong(0)
+      val g = math.max(1L, row.getLong(1))
+      val p = fact.sparkSession.sparkContext.defaultParallelism
+      val pick = g < p && n / g > RangeParallelPerGroupRows
+      graft.core.Decisions.record(
+        s"quantiles.rangeParallel(n=$n, groups=$g, cores=$p)", pick)
+      pick
+    }
+    if (nFact <= FactRowsProbeThreshold)
+      graft.core.Decisions.record(s"quantiles.rangeParallel(nFact=$nFact)",
+        "skipped-small-fact")
+    if (parallel)
+      cumulateRangeParallel(compacted, groupCols, valueCol, cntCol, startCol,
+        endCol, totalCol)
+    else
+      cumulate(compacted, groupCols, valueCol, cntCol, startCol, endCol, totalCol)
   }
 
   /** Aggregate expression: the value whose index range covers multiset

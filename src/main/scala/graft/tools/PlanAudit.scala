@@ -48,15 +48,17 @@ object PlanAudit {
         "running-sum window over the compacted table" -> "Window",
         "bounds broadcast back onto compacted table" -> "BroadcastHashJoin",
         "map-side compaction of the fact scan" -> "partial_count",
-        // consumer count of the persisted cumulated table, pinned: the
-        // quantile bounds branch scans it ONCE (per-group totals ride the
-        // cumulate window's own sort — ExactQuantiles totalCol, r8), the
-        // trimmed-moments aggregate once, and the fused median-probe/final
-        // pass once — THREE. The round-7 shape had a fourth (separate
-        // totals aggregation + broadcast join in the bounds branch), the
-        // round-6 shape a fifth (separate median indices + a final
-        // m⋈median join); a regression to either shows up here as extra
-        // details-header scans.
+        // cache consumer count, pinned at the small-sf (tier-1) shape: the
+        // free metadata probe keeps the compact→window pipeline streaming
+        // (no compacted cache), and the cumulated table feeds exactly
+        // THREE aggregate passes (quantile bounds — per-group totals ride
+        // the cumulate sort itself, ExactQuantiles totalCol r8; trimmed
+        // moments; fused median-probe/final). The round-7 shape had a
+        // fourth (separate totals aggregation + broadcast join in the
+        // bounds branch), the round-6 shape a fifth (separate median
+        // indices + a final join); a regression to either shows up as
+        // extra details-header scans. Above FactRowsProbeThreshold the
+        // adaptive tier legitimately adds a fourth (compacted-cache) scan.
         "exactly 3 consumers of the cached cumulated table" ->
           "=3:\\(\\d+\\) InMemoryTableScan")),
       // the adaptive bucket cap probed this corpus, found no over-cap bucket

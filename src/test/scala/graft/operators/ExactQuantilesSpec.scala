@@ -105,6 +105,19 @@ class ExactQuantilesSpec extends SparkSpecBase {
       ExactQuantiles.cumulate(compacted, Seq("g"), "v"),
       Seq("g"), "v", ps).collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(a === b)
+    // fused totals column (r8): identical between the two variants, and the
+    // quantiles read through it are bit-identical too
+    val wantT = ExactQuantiles.cumulate(compacted, Seq("g"), "v",
+      totalCol = Some("__n")).collect().map(_.toSeq).toSet
+    val gotT = ExactQuantiles.cumulateRangeParallel(compacted, Seq("g"), "v",
+      totalCol = Some("__n")).collect().map(_.toSeq).toSet
+    assert(gotT === wantT)
+    val c = ExactQuantiles.quantilesOfCumulated(
+      ExactQuantiles.cumulateRangeParallel(compacted, Seq("g"), "v",
+        totalCol = Some("__n")),
+      Seq("g"), "v", ps, totalCol = Some("__n"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(c === b)
   }
 
   test("NULL values are ignored, matching percentile") {
