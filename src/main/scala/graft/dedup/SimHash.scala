@@ -43,27 +43,44 @@ object SimHash {
       .select(col("__id").as(idCol), col("simhash"))
   }
 
+  /** Documents below this stay LAZY (no persist, no scoped conf, no extra
+    * job): under Spark's default 128-key fallback the degraded path is an
+    * external sort of the exploded token stream, which at ≤100k docs
+    * (≤ ~10⁸ tokens) is bounded and CHEAPER than what eager scoping costs —
+    * the persist+force job measured ~0.7 s of fixed overhead at sf0.1
+    * (BENCH_NOTES r8 medians note), pure loss on small corpora. Above the
+    * threshold the sort is the scale-killer the scope exists to prevent. */
+  private val SimHashScopedMinDocs: Long = 100000L
+
   /** (id, simhash BIGINT) per document — the fused
     * [[graft.functions.SimHashAggregate]] accumulates all 64 sign-sums per
     * token in one compiled loop (the 64-column sum(when(...)) form evaluated
     * 64 branch expressions per token; same partial-agg shuffle shape).
     *
-    * EAGER (r8): the per-doc output (one 16-byte row per document — tiny
-    * next to the token stream it reduces) is persisted and forced here,
-    * inside a scoped raise of the ObjectHashAggregate fallback threshold
-    * ([[graft.core.GraftSession.withObjectAggFallbackKeys]]): Spark's
-    * 128-keys-per-partition default would silently degrade the fused
-    * aggregate to an external sort of the ENTIRE exploded token stream, and
-    * the conf is read at action time, so a lazy plan would execute under
-    * whatever threshold the caller's session has. The cache is released
-    * after the caller's first action. */
+    * Materialization TIER (r8): one cheap `docs.count()` probe picks the
+    * strategy. Small corpora return the plain lazy plan (Spark's fallback
+    * sort of the modest token stream is cheaper than any eager machinery).
+    * Large corpora persist + force the per-doc output (one 16-byte row per
+    * document — tiny next to the token stream it reduces) inside a scoped
+    * raise of the ObjectHashAggregate fallback threshold
+    * ([[graft.core.GraftSession.withObjectAggFallbackKeys]]): the conf is
+    * read at action time, so a lazy plan would execute under whatever
+    * threshold the caller's session has, and the default would silently
+    * degrade the fused aggregate to an external sort of the ENTIRE token
+    * stream. The cache is released after the caller's first action. */
   def fingerprints(docs: DataFrame, idCol: String, text: Column): DataFrame = {
-    val out = fingerprintsPlan(docs, idCol, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
-    graft.core.GraftSession.withObjectAggFallbackKeys(
-      out.sparkSession, SimHashAggFallbackKeys) { out.count() }
-    out
+    val n = docs.count()
+    graft.core.Decisions.record(s"simhash.scopedMaterialize(n=$n)",
+      n >= SimHashScopedMinDocs)
+    if (n < SimHashScopedMinDocs) fingerprintsPlan(docs, idCol, text)
+    else {
+      val out = fingerprintsPlan(docs, idCol, text)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+      graft.core.GraftSession.withObjectAggFallbackKeys(
+        out.sparkSession, SimHashAggFallbackKeys) { out.count() }
+      out
+    }
   }
 
   /** Hamming distance between two packed fingerprints. */
@@ -106,8 +123,6 @@ object SimHash {
     // owned(result, …) registration at the end of this method.
     val fps = fingerprintsPlan(docs, idCol, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    graft.core.GraftSession.withObjectAggFallbackKeys(
-      docs.sparkSession, SimHashAggFallbackKeys) { fps.count() }
     val allKeyed = fps.select(col(idCol).as("__id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk_idx"),
@@ -119,12 +134,23 @@ object SimHash {
     // adaptive cap: materialize the over-cap chunk-bucket set once (EAGER,
     // same contract as Dedup.ngramJaccardBlocked's cap path); when empty the
     // plain blocked plan runs and the distance-0 recovery below is skipped —
-    // every identical-simhash pair is already in the blocked join's output
-    val (keyed, capActive) = maxBucketSize match {
-      case None => (allKeyed, false)
-      case Some(cap) => graft.operators.SkewGuards
-        .adaptiveDropOverCapRows(allKeyed, Seq("chunk_idx", "chunk_val"), cap)
-    }
+    // every identical-simhash pair is already in the blocked join's output.
+    // The scoped fallback raise wraps this EXISTING first action over the
+    // fps cache (r8: a dedicated count here was a pure extra job — the
+    // probe materializes the fingerprint aggregate anyway, so wrapping it
+    // keeps the aggregate hash-based at zero added cost); the no-cap branch
+    // still needs its own forcing action.
+    val (keyed, capActive) =
+      graft.core.GraftSession.withObjectAggFallbackKeys(
+        docs.sparkSession, SimHashAggFallbackKeys) {
+        maxBucketSize match {
+          case None =>
+            fps.count()
+            (allKeyed, false)
+          case Some(cap) => graft.operators.SkewGuards
+            .adaptiveDropOverCapRows(allKeyed, Seq("chunk_idx", "chunk_val"), cap)
+        }
+      }
     val a = keyed.select(col("chunk_idx"), col("chunk_val"),
       col("__id").as("left_id"), col("simhash").as("__sh_l"))
     val b = keyed.select(col("chunk_idx"), col("chunk_val"),

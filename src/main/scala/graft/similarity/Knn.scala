@@ -82,6 +82,24 @@ object Knn {
     * sort, by design. */
   private val TopKAggFallbackKeys: Long = 1L << 21
 
+  /** Query-vector count below which [[topKByAgg]] stays LAZY (no persist,
+    * no scoped conf, no extra job): under Spark's default 128-key fallback
+    * the degraded path is an external sort of the scored candidate stream,
+    * which at ≤100k queries (≤ ~5×10⁷ candidates under the auto-sized LSH
+    * and IVF settings) is bounded and cheaper than the eager machinery —
+    * the persist+force measured ~5% of knn2's sentinel-normalized time at
+    * sf0.1 (BENCH_NOTES r8 medians note), pure loss on small corpora.
+    * Above the threshold the degraded sort is the sf100 disk-exhaustion
+    * trap the scope exists to prevent (sf10's 200k vectors take the eager
+    * path, so the committed scale evidence keeps covering it). */
+  private val TopKScopedMinGroups: Long = 100000L
+
+  /** The tier predicate, shared with callers that must adapt their own
+    * cache lifecycle to whether [[topKByAgg]] consumes its input eagerly
+    * (unknown count → conservative eager). */
+  private def topKEagerTier(nGroups: Option[Long]): Boolean =
+    nGroups.forall(_ >= TopKScopedMinGroups)
+
   /** (query_id, neighbor_id, rank, cosine) top-k per query via the bounded
     * [[graft.functions.TopKPairsAggregate]] — hash aggregation with a k-slot
     * buffer per query, NO sort of the scored stream. The window
@@ -91,8 +109,11 @@ object Knn {
     * the sf100 probe (~2 TB > any local disk).  Ordering replicates the
     * window form bit-for-bit: (cosine DESC, neighbor_id ASC).
     *
-    * EAGER (r8): the n·k output is persisted and forced here, inside a
-    * scoped raise of the ObjectHashAggregate fallback threshold
+    * Materialization TIER (r8): `nGroups` is the caller's already-counted
+    * query-vector total (None = unknown → conservative eager). Below
+    * [[TopKScopedMinGroups]] the plain lazy plan returns. Otherwise the n·k
+    * output is persisted and forced here, inside a scoped raise of the
+    * ObjectHashAggregate fallback threshold
     * ([[graft.core.GraftSession.withObjectAggFallbackKeys]]) — Spark's
     * 128-keys-per-partition default would silently degrade the k-slot hash
     * aggregation back to a full-stream external sort, and the conf is read
@@ -100,22 +121,30 @@ object Knn {
     * under whatever threshold the session then has. The cache is released
     * after the caller's first action ([[graft.core.OperatorCaches]] with
     * one skip for the internal force). */
-  private def topKByAgg(scored: DataFrame, k: Int): DataFrame = {
+  private def topKByAgg(scored: DataFrame, k: Int,
+                        nGroups: Option[Long] = None): DataFrame = {
     val top = ColumnBridge.column(graft.functions.TopKPairsAggregate(
       ColumnBridge.expression(col("neighbor_id")),
       ColumnBridge.expression(col("cosine")), k).toAggregateExpression())
-    val out = scored.groupBy("query_id").agg(top.as("__top"))
+    val plan = scored.groupBy("query_id").agg(top.as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
       .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
         (col("__p") + 1).cast("int").as("rank"), col("__t.cosine").as("cosine"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // register BEFORE the force: listener events arrive in execution order,
-    // so skipMatches = 1 lets the internal count pass and the caller's first
-    // action release the cache
-    graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
-    graft.core.GraftSession.withObjectAggFallbackKeys(
-      out.sparkSession, TopKAggFallbackKeys) { out.count() }
-    out
+    val eager = topKEagerTier(nGroups)
+    graft.core.Decisions.record(
+      s"topk.scopedMaterialize(n=${nGroups.getOrElse(-1L)})", eager)
+    if (!eager) plan
+    else {
+      val out = plan
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // register BEFORE the force: listener events arrive in execution
+      // order, so skipMatches = 1 lets the internal count pass and the
+      // caller's first action release the cache
+      graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+      graft.core.GraftSession.withObjectAggFallbackKeys(
+        out.sparkSession, TopKAggFallbackKeys) { out.count() }
+      out
+    }
   }
 
   /** Exact top-k neighbors for every query vector (excludes self-matches on id). */
@@ -139,8 +168,10 @@ object Knn {
     * set — the AVERAGE bucket exceeds the cap, so the guard drops most of
     * the corpus and recall collapses. One count() probe, driver-side, eager;
     * recorded via [[graft.core.Decisions]]. */
-  private def autoPlanes(vecs: DataFrame, idCol: String): Int = {
-    val n = math.max(1L, vecs.select(col(idCol)).count())
+  private def autoPlanes(vecs: DataFrame, idCol: String): Int =
+    autoPlanesFromN(math.max(1L, vecs.select(col(idCol)).count()))
+
+  private def autoPlanesFromN(n: Long): Int = {
     val p = math.max(4, math.min(24,
       math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
     graft.core.Decisions.record(s"lsh.autoPlanes(n=$n)", p)
@@ -361,8 +392,13 @@ object Knn {
               planes: Int = 0, tables: Int = 4,
               maxBucketSize: Option[Int] = None,
               probes: Int = -1): DataFrame = {
-    // planes = 0 (default): size the tables from the data — see [[autoPlanes]]
-    val pl = if (planes > 0) planes else autoPlanes(vecs, idCol)
+    // planes = 0 (default): size the tables from the data — see [[autoPlanes]];
+    // the same count feeds topKByAgg's materialization tier (explicit planes
+    // skip the count, so the tier then defaults to conservative-eager)
+    val nOpt: Option[Long] =
+      if (planes > 0) None
+      else Some(math.max(1L, vecs.select(col(idCol)).count()))
+    val pl = if (planes > 0) planes else autoPlanesFromN(nOpt.get)
     // probes = -1 (default): probe every single-bit flip (the Hamming-1
     // ball) — multiplies candidate volume by ≈ planes+1 per table but
     // converts the boundary-miss failure mode of sign-bit LSH into a
@@ -410,7 +446,7 @@ object Knn {
       .withColumn("cosine", pairCosine(col("__vl"), col("__nl"), col("__vr"), col("__nr")))
       .select(col("left_id").as("query_id"), col("right_id").as("neighbor_id"),
         col("cosine"))
-    topKByAgg(scored, k)
+    topKByAgg(scored, k, nOpt)
   }
 
   /**
@@ -475,8 +511,10 @@ object Knn {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               nCells: Int = 0, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val (cells, train) =
-      if (nCells > 0) (nCells, vecs)
+    // the auto-sizing count doubles as topKByAgg's materialization-tier
+    // input (explicit nCells skips it → conservative-eager tier)
+    val (cells, train, nOpt) =
+      if (nCells > 0) (nCells, vecs, None: Option[Long])
       else {
         val n = v.count()
         val auto = math.max(16, math.min(65536, math.ceil(math.sqrt(2.0 * n)).toInt))
@@ -485,7 +523,7 @@ object Knn {
         val sampled =
           if (n <= cap) vecs
           else vecs.where(pmod(xxhash64(col(idCol)), lit(math.max(1L, n / cap))) === 0)
-        (auto, sampled)
+        (auto, sampled, Some(n))
       }
     val centroids = kmeansCentroids(train, idCol, vecCol, cells, kmeansIters)
     val np = math.max(nProbe, 1)
@@ -542,11 +580,16 @@ object Knn {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", pairCosine(col("__qv"), col("__qn"), col("__nv"), col("__nn")))
       .select("query_id", "neighbor_id", "cosine")
-    // topKByAgg is eager (persists + forces its n·k output), so `pruned` is
-    // fully consumed by the time it returns — release it here instead of
-    // waiting for the caller's action
-    val top = topKByAgg(scored, k)
-    pruned.unpersist(false)
-    top.select("query_id", "neighbor_id", "rank", "cosine")
+    // cache lifecycle follows topKByAgg's materialization tier: the eager
+    // tier persists + forces its n·k output, so `pruned` is fully consumed
+    // by the time it returns and releases immediately; the lazy tier's plan
+    // still reads `pruned` at the CALLER's action, so release defers to the
+    // operator-cache listener
+    val top = topKByAgg(scored, k, nOpt)
+    if (topKEagerTier(nOpt)) {
+      pruned.unpersist(false)
+      top.select("query_id", "neighbor_id", "rank", "cosine")
+    } else graft.core.OperatorCaches.owned(
+      top.select("query_id", "neighbor_id", "rank", "cosine"), Seq(pruned))
   }
 }
