@@ -216,32 +216,64 @@ object ExactQuantiles {
    * an extra full exchange that LOSES on small domains. The probe picks per
    * dataset and records the choice (`Decisions`).
    */
+  /** Fact-table rows above which every pass must come off a MATERIALIZED
+    * compacted table: the mid-tier's streaming-uncached range shape
+    * re-evaluates the scan+compact pipeline for the HLL probe, the range
+    * sampling AND the exchange — three fact passes that are noise at sf1
+    * (measured cheaper than the cache round-trip there) but dominate once a
+    * single scan costs tens of seconds (measured at sf100/600M rows: the
+    * uncached shape's best rep was SLOWER than the plain 3-task sort it
+    * replaces — BENCH_NOTES "a10 shape"). Above this line the compacted
+    * table is persisted once and probed exactly; below, streaming wins. */
+  val CompactCacheMinFactRows = 100000000L
+
   def cumulateFromFact(fact: DataFrame, groupCols: Seq[String],
                        valueCol: String, cntCol: String = "__cnt",
                        startCol: String = "__start", endCol: String = "__end",
                        totalCol: Option[String] = None): DataFrame = {
     val nFact = fact.count()
     val compacted = compact(fact, groupCols, valueCol, cntCol)
-    val parallel = nFact > FactRowsProbeThreshold && {
-      val row = fact.filter(col(valueCol).isNotNull).agg(
-        approx_count_distinct(struct((groupCols :+ valueCol).map(col): _*)),
-        approx_count_distinct(struct(groupCols.map(col): _*))).head()
-      val n = row.getLong(0)
-      val g = math.max(1L, row.getLong(1))
-      val p = fact.sparkSession.sparkContext.defaultParallelism
-      val pick = g < p && n / g > RangeParallelPerGroupRows
+    val p = fact.sparkSession.sparkContext.defaultParallelism
+    def choose(n: Long, g: Long): Boolean = {
+      val pick = g < p && n / math.max(1L, g) > RangeParallelPerGroupRows
       graft.core.Decisions.record(
         s"quantiles.rangeParallel(n=$n, groups=$g, cores=$p)", pick)
       pick
     }
-    if (nFact <= FactRowsProbeThreshold)
+    if (nFact <= FactRowsProbeThreshold) {
+      // tier 1: too small for any probe to pay for itself
       graft.core.Decisions.record(s"quantiles.rangeParallel(nFact=$nFact)",
         "skipped-small-fact")
-    if (parallel)
-      cumulateRangeParallel(compacted, groupCols, valueCol, cntCol, startCol,
-        endCol, totalCol)
-    else
       cumulate(compacted, groupCols, valueCol, cntCol, startCol, endCol, totalCol)
+    } else if (nFact <= CompactCacheMinFactRows) {
+      // tier 2: streaming-uncached — one lightweight HLL pass chooses, the
+      // chosen shape re-reads the fact scan (cheap at this size)
+      val row = fact.filter(col(valueCol).isNotNull).agg(
+        approx_count_distinct(struct((groupCols :+ valueCol).map(col): _*)),
+        approx_count_distinct(struct(groupCols.map(col): _*))).head()
+      if (choose(row.getLong(0), math.max(1L, row.getLong(1))))
+        cumulateRangeParallel(compacted, groupCols, valueCol, cntCol, startCol,
+          endCol, totalCol)
+      else
+        cumulate(compacted, groupCols, valueCol, cntCol, startCol, endCol, totalCol)
+    } else {
+      // tier 3: fact scans dominate — materialize the compacted table ONCE
+      // (its own count doubles as the exact probe), then the range sampling
+      // and exchange (or the plain window) read the cache. The cache is
+      // registered against the returned plan, so it releases after the
+      // caller's first action materializes the cumulated result.
+      val cached = compacted.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val row = cached.agg(count(lit(1)), approx_count_distinct(
+        struct(groupCols.map(col): _*))).head()
+      val cum =
+        if (choose(row.getLong(0), math.max(1L, row.getLong(1))))
+          cumulateRangeParallel(cached, groupCols, valueCol, cntCol, startCol,
+            endCol, totalCol)
+        else
+          cumulate(cached, groupCols, valueCol, cntCol, startCol, endCol, totalCol)
+      graft.core.OperatorCaches.owned(cum, Seq(cached))
+    }
   }
 
   /** Aggregate expression: the value whose index range covers multiset
