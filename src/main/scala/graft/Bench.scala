@@ -117,16 +117,6 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val spread =
-      if (reps <= 1) ""
-      else {
-        val sp = names.map { n =>
-          val xs = samples.flatMap(_(n))
-          if (xs.isEmpty) s"\"" + n + "\":[-1.0,-1.0]"
-          else s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
-        }.mkString("{", ",", "}")
-        s""","reps":$reps,"spread":$sp"""
-      }
     // Spread contamination (tools/WaveGuard.spreadFlagged): the sentinel
     // bracket misses waves that start and recover WITHIN a rep; per-query
     // minima across every attempted rep (discarded ones included) expose
@@ -145,14 +135,35 @@ object Bench {
         graft.tools.WaveGuard.soloRerun(spreadFlagged.sorted, outcome.baseline,
           sentinel _, name => {
             val t0 = System.nanoTime()
+            // a persistently failing solo rerun must leave a trace of WHY
+            // substitution was skipped, same as oneRep's failure logging
             val ok = try { run(SparkEntry.queries(name)); true }
-              catch { case _: Throwable => false }
+              catch {
+                case t: Throwable =>
+                  System.err.println(s"[bench] SOLO RERUN FAILED: $name — " +
+                    s"${t.getClass.getSimpleName}: ${t.getMessage}")
+                  false
+              }
             val el = (System.nanoTime() - t0) / 1e9
             System.gc()
             if (ok) Some(el) else None
           })
       } else Map.empty
     val finalResults = results.map { case (n, v) => n -> soloSubs.getOrElse(n, v) }
+    // per-query [min,max] over the kept reps, WIDENED to include a
+    // substituted solo time — a substituted median must not sit outside its
+    // own reported spread (artifact consumers treat that as an
+    // inconsistency); spread_reruns below still records both raw values
+    val spread =
+      if (reps <= 1) ""
+      else {
+        val sp = names.map { n =>
+          val xs = samples.flatMap(_(n)) ++ soloSubs.get(n)
+          if (xs.isEmpty) s"\"" + n + "\":[-1.0,-1.0]"
+          else s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
+        }.mkString("{", ",", "}")
+        s""","reps":$reps,"spread":$sp"""
+      }
     val rerunJson =
       if (soloSubs.isEmpty) ""
       else s""","spread_reruns":${soloSubs.toSeq.sortBy(_._1).map { case (n, v) =>

@@ -414,7 +414,11 @@ object SparkEntry {
 
     // SimHash fingerprints + pigeonhole-blocked Hamming pairs — rows-only check.
     "dedup3_simhash" -> ((s, dir) => {
-      SimHash.fingerprints(T(s, dir, "documents"), "doc_id", col("text"))
+      // bare table read: the count is metadata-only (parquet aggregate
+      // pushdown) and buys the exact materialization tier; derived inputs
+      // omit it and take the conservative-eager path (see fingerprints doc)
+      val docs = T(s, dir, "documents")
+      SimHash.fingerprints(docs, "doc_id", col("text"), Some(docs.count()))
     }),
 
     // Near-dup clusters: connected components (min-reachable-id labels) over

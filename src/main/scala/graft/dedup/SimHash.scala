@@ -25,8 +25,14 @@ object SimHash {
   /** Per-partition key budget for the scoped ObjectHashAggregate fallback
     * raise around the fingerprint aggregation: SimHashAggregate's buffer is
     * a long[64] (~530 B with overhead) per document, so 2²⁰ keys bound the
-    * un-spillable hash state at ~530 MB/task worst case. */
+    * un-spillable hash state at ~530 MB/task worst case. Default for the
+    * `spark.graft.simhash.fallbackKeys` tunable ([[graft.core.Tunables]]):
+    * the budget is a memory bound, raisable on a memory-rich cluster. */
   private val SimHashAggFallbackKeys: Long = 1L << 20
+
+  private def fallbackKeys(spark: org.apache.spark.sql.SparkSession): Long =
+    graft.core.Tunables.long(spark, "spark.graft.simhash.fallbackKeys",
+      SimHashAggFallbackKeys)
 
   /** The lazy fingerprint plan — see [[fingerprints]] for why the public
     * entry point materializes instead of returning this directly. */
@@ -49,7 +55,9 @@ object SimHash {
     * (≤ ~10⁸ tokens) is bounded and CHEAPER than what eager scoping costs —
     * the persist+force job measured ~0.7 s of fixed overhead at sf0.1
     * (BENCH_NOTES r8 medians note), pure loss on small corpora. Above the
-    * threshold the sort is the scale-killer the scope exists to prevent. */
+    * threshold the sort is the scale-killer the scope exists to prevent.
+    * Default for the `spark.graft.simhash.scopedMinDocs` tunable
+    * ([[graft.core.Tunables]]) — a sandbox-measured crossover. */
   private val SimHashScopedMinDocs: Long = 100000L
 
   /** (id, simhash BIGINT) per document — the fused
@@ -67,18 +75,31 @@ object SimHash {
     * read at action time, so a lazy plan would execute under whatever
     * threshold the caller's session has, and the default would silently
     * degrade the fused aggregate to an external sort of the ENTIRE token
-    * stream. The cache is released after the caller's first action. */
-  def fingerprints(docs: DataFrame, idCol: String, text: Column): DataFrame = {
-    val n = docs.count()
-    graft.core.Decisions.record(s"simhash.scopedMaterialize(n=$n)",
-      n >= SimHashScopedMinDocs)
-    if (n < SimHashScopedMinDocs) fingerprintsPlan(docs, idCol, text)
+    * stream. The cache is released after the caller's first action.
+    *
+    * `nDocs` is the caller's already-known corpus size (the same pattern as
+    * `Knn.topKByAgg`'s nGroups): `None` takes the CONSERVATIVE-EAGER path —
+    * no probe count, scoped materialization regardless of size — because a
+    * probe `docs.count()` here would re-evaluate the whole pipeline when
+    * `docs` is a derived DataFrame rather than a bare scan (r8 shipped an
+    * unconditional count: one strictly extra corpus pass per call on
+    * derived inputs). Callers with a bare table read get the lazy
+    * small-corpus tier back by passing `Some(docs.count())` — metadata-only
+    * under parquet aggregate pushdown. */
+  def fingerprints(docs: DataFrame, idCol: String, text: Column,
+                   nDocs: Option[Long] = None): DataFrame = {
+    val minDocs = graft.core.Tunables.long(docs.sparkSession,
+      "spark.graft.simhash.scopedMinDocs", SimHashScopedMinDocs)
+    val eager = nDocs.forall(_ >= minDocs)
+    graft.core.Decisions.record(
+      s"simhash.scopedMaterialize(n=${nDocs.getOrElse(-1L)})", eager)
+    if (!eager) fingerprintsPlan(docs, idCol, text)
     else {
       val out = fingerprintsPlan(docs, idCol, text)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
       graft.core.GraftSession.withObjectAggFallbackKeys(
-        out.sparkSession, SimHashAggFallbackKeys) { out.count() }
+        out.sparkSession, fallbackKeys(out.sparkSession)) { out.count() }
       out
     }
   }
@@ -142,7 +163,7 @@ object SimHash {
     // still needs its own forcing action.
     val (keyed, capActive) =
       graft.core.GraftSession.withObjectAggFallbackKeys(
-        docs.sparkSession, SimHashAggFallbackKeys) {
+        docs.sparkSession, fallbackKeys(docs.sparkSession)) {
         maxBucketSize match {
           case None =>
             fps.count()

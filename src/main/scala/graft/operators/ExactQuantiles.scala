@@ -168,54 +168,12 @@ object ExactQuantiles {
     * 500k sits at the geometric middle of the bracketing measurements. */
   val RangeParallelPerGroupRows = 500000L
 
-  /**
-   * [[cumulate]] with the sort strategy chosen from the DATA — an eager
-   * probe, same contract as the skew guards: two counting jobs run at call
-   * time. `compacted` MUST be persisted by the caller (the probe counts it,
-   * and the chosen shape re-reads it from cache; unpersisted, the fact scan
-   * would run three times).
-   *
-   * Plain per-group windowing sorts with parallelism = GROUP COUNT; when
-   * groups are fewer than the cluster's cores and the per-group domain is
-   * large, the dominant sort serializes onto a handful of tasks while the
-   * rest of the cluster idles. The range-parallel shape fixes exactly that
-   * but pays an extra full exchange + range-sampling pass, which loses when
-   * the domain is small. Neither is right unconditionally — the probe picks
-   * per dataset and records the choice (`Decisions`).
-   */
   /** Fact-table rows below which the adaptive probe is skipped entirely:
     * even a worst-case single-group all-distinct domain of this size sorts
     * in roughly one task-second, comparable to what any probe job costs —
     * below it, probing can never pay for itself. */
   val FactRowsProbeThreshold = 2000000L
 
-  /**
-   * [[cumulate]] with the sort strategy chosen from the DATA — a two-tier
-   * eager probe over the FACT table (probe jobs run at call time, the same
-   * contract as the skew guards):
-   *
-   *  - Tier 1 (free): `fact.count()` — metadata-only under parquet
-   *    aggregate pushdown (enabled in GraftSession). At or below
-   *    [[FactRowsProbeThreshold]] rows the plain shape streams compact →
-   *    window in one pipeline: zero probe overhead where the probe could
-   *    never pay for itself.
-   *  - Tier 2: one LIGHTWEIGHT aggregation over the (column-pruned) fact
-   *    scan — `approx_count_distinct` of the compaction key and of the
-   *    group key — then the chosen shape streams from the fact table
-   *    uncached. HLL error (~2%) is irrelevant against a threshold with
-   *    order-of-magnitude bracketing measurements, and the probe scan is
-   *    far cheaper than the alternative (persisting the compacted table to
-   *    share one scan measured ~3 s of cache round-trip at sf1, versus
-   *    ~0.5 s for this two-column rescan — BENCH_NOTES "a10 shape").
-   *
-   * Decision rationale: plain per-group windowing sorts with parallelism =
-   * GROUP COUNT; when groups are fewer than the cluster's cores and the
-   * per-group domain exceeds [[RangeParallelPerGroupRows]], the dominant
-   * sort serializes onto a handful of tasks while the rest of the cluster
-   * idles — exactly what [[cumulateRangeParallel]] fixes, at the price of
-   * an extra full exchange that LOSES on small domains. The probe picks per
-   * dataset and records the choice (`Decisions`).
-   */
   /** Fact-table rows above which every pass must come off a MATERIALIZED
     * compacted table: the mid-tier's streaming-uncached range shape
     * re-evaluates the scan+compact pipeline for the HLL probe, the range
@@ -227,25 +185,74 @@ object ExactQuantiles {
     * table is persisted once and probed exactly; below, streaming wins. */
   val CompactCacheMinFactRows = 100000000L
 
+  /**
+   * [[cumulate]] with the sort strategy chosen from the DATA — a THREE-tier
+   * eager probe over the FACT table (probe jobs run at call time, the same
+   * contract as the skew guards):
+   *
+   *  - Tier 1 (≤ [[FactRowsProbeThreshold]] rows): the plain shape streams
+   *    compact → window in one pipeline, zero probe overhead — too small
+   *    for any probe to pay for itself.
+   *  - Tier 2 (≤ [[CompactCacheMinFactRows]] rows): one LIGHTWEIGHT
+   *    aggregation over the (column-pruned) fact scan —
+   *    `approx_count_distinct` of the compaction key and of the group key —
+   *    then the chosen shape streams from the fact table UNCACHED. HLL
+   *    error (~2%) is irrelevant against a threshold with
+   *    order-of-magnitude bracketing measurements, and the probe scan is
+   *    far cheaper than the cache round-trip at this size (measured sf1:
+   *    ~0.5 s rescan vs ~3 s cache — BENCH_NOTES "a10 shape").
+   *  - Tier 3 (above): fact scans dominate, so the compacted table is
+   *    persisted ONCE (its own exact count doubles as the probe) and the
+   *    chosen shape — and every caller pass — reads the cache (measured
+   *    sf100: the uncached shape's three fact passes were slower than the
+   *    serial sort they replaced — BENCH_NOTES "a10 tier 3").
+   *
+   * Decision rationale: plain per-group windowing sorts with parallelism =
+   * GROUP COUNT; when groups are fewer than the cluster's cores and the
+   * per-group domain exceeds [[RangeParallelPerGroupRows]], the dominant
+   * sort serializes onto a handful of tasks while the rest of the cluster
+   * idles — exactly what [[cumulateRangeParallel]] fixes, at the price of
+   * an extra full exchange that LOSES on small domains. The probe picks per
+   * dataset and records the choice (`Decisions`).
+   *
+   * COST CAVEAT: the "free tier-1 count" and "cheap tier-2 probe" hold for
+   * a RAW TABLE READ (metadata-only count under parquet aggregate pushdown,
+   * column-pruned probe scan — true at the a10 call site). A filtered or
+   * derived `fact` pipeline re-evaluates per probe pass; such callers
+   * should pass `nFactKnown` (skips the count entirely) and expect tier 2
+   * to cost one extra pipeline evaluation for the HLL probe.
+   *
+   * Tier boundaries are conf-overridable (`spark.graft.quantiles.*` — see
+   * [[graft.core.Tunables]]): the defaults are crossovers measured at
+   * 32 cores / 128 GiB and a memory-rich cluster moves them.
+   */
   def cumulateFromFact(fact: DataFrame, groupCols: Seq[String],
                        valueCol: String, cntCol: String = "__cnt",
                        startCol: String = "__start", endCol: String = "__end",
-                       totalCol: Option[String] = None): DataFrame = {
-    val nFact = fact.count()
+                       totalCol: Option[String] = None,
+                       nFactKnown: Option[Long] = None): DataFrame = {
+    val spark = fact.sparkSession
+    val probeThreshold = graft.core.Tunables.long(spark,
+      "spark.graft.quantiles.factRowsProbeThreshold", FactRowsProbeThreshold)
+    val cacheMinRows = graft.core.Tunables.long(spark,
+      "spark.graft.quantiles.compactCacheMinFactRows", CompactCacheMinFactRows)
+    val perGroupRows = graft.core.Tunables.long(spark,
+      "spark.graft.quantiles.rangeParallelPerGroupRows", RangeParallelPerGroupRows)
+    val nFact = nFactKnown.getOrElse(fact.count())
     val compacted = compact(fact, groupCols, valueCol, cntCol)
-    val p = fact.sparkSession.sparkContext.defaultParallelism
+    val p = spark.sparkContext.defaultParallelism
     def choose(n: Long, g: Long): Boolean = {
-      val pick = g < p && n / math.max(1L, g) > RangeParallelPerGroupRows
+      val pick = g < p && n / math.max(1L, g) > perGroupRows
       graft.core.Decisions.record(
         s"quantiles.rangeParallel(n=$n, groups=$g, cores=$p)", pick)
       pick
     }
-    if (nFact <= FactRowsProbeThreshold) {
+    if (nFact <= probeThreshold) {
       // tier 1: too small for any probe to pay for itself
       graft.core.Decisions.record(s"quantiles.rangeParallel(nFact=$nFact)",
         "skipped-small-fact")
       cumulate(compacted, groupCols, valueCol, cntCol, startCol, endCol, totalCol)
-    } else if (nFact <= CompactCacheMinFactRows) {
+    } else if (nFact <= cacheMinRows) {
       // tier 2: streaming-uncached — one lightweight HLL pass chooses, the
       // chosen shape re-reads the fact scan (cheap at this size)
       val row = fact.filter(col(valueCol).isNotNull).agg(

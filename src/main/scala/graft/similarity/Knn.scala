@@ -79,7 +79,9 @@ object Knn {
     * ~16·k + 64 bytes per key (k ≤ 10 in every caller → ≤ ~224 B), so 2²¹
     * keys bound the un-spillable hash state at ~470 MB/task worst case —
     * and a partition with even more distinct queries still degrades to
-    * sort, by design. */
+    * sort, by design. Default for the `spark.graft.topk.fallbackKeys`
+    * tunable ([[graft.core.Tunables]]) — the budget is a memory bound, so
+    * an executor-memory-rich cluster can raise it. */
   private val TopKAggFallbackKeys: Long = 1L << 21
 
   /** Query-vector count below which [[topKByAgg]] stays LAZY (no persist,
@@ -91,14 +93,18 @@ object Knn {
     * sf0.1 (BENCH_NOTES r8 medians note), pure loss on small corpora.
     * Above the threshold the degraded sort is the sf100 disk-exhaustion
     * trap the scope exists to prevent (sf10's 200k vectors take the eager
-    * path, so the committed scale evidence keeps covering it). */
+    * path, so the committed scale evidence keeps covering it). Default for
+    * the `spark.graft.topk.scopedMinGroups` tunable
+    * ([[graft.core.Tunables]]) — the crossover is a sandbox measurement. */
   private val TopKScopedMinGroups: Long = 100000L
 
   /** The tier predicate, shared with callers that must adapt their own
     * cache lifecycle to whether [[topKByAgg]] consumes its input eagerly
     * (unknown count → conservative eager). */
-  private def topKEagerTier(nGroups: Option[Long]): Boolean =
-    nGroups.forall(_ >= TopKScopedMinGroups)
+  private def topKEagerTier(spark: org.apache.spark.sql.SparkSession,
+                            nGroups: Option[Long]): Boolean =
+    nGroups.forall(_ >= graft.core.Tunables.long(spark,
+      "spark.graft.topk.scopedMinGroups", TopKScopedMinGroups))
 
   /** (query_id, neighbor_id, rank, cosine) top-k per query via the bounded
     * [[graft.functions.TopKPairsAggregate]] — hash aggregation with a k-slot
@@ -130,7 +136,7 @@ object Knn {
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
       .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
         (col("__p") + 1).cast("int").as("rank"), col("__t.cosine").as("cosine"))
-    val eager = topKEagerTier(nGroups)
+    val eager = topKEagerTier(scored.sparkSession, nGroups)
     graft.core.Decisions.record(
       s"topk.scopedMaterialize(n=${nGroups.getOrElse(-1L)})", eager)
     if (!eager) plan
@@ -142,7 +148,8 @@ object Knn {
       // caller's first action release the cache
       graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
       graft.core.GraftSession.withObjectAggFallbackKeys(
-        out.sparkSession, TopKAggFallbackKeys) { out.count() }
+        out.sparkSession, graft.core.Tunables.long(out.sparkSession,
+          "spark.graft.topk.fallbackKeys", TopKAggFallbackKeys)) { out.count() }
       out
     }
   }
@@ -586,7 +593,7 @@ object Knn {
     // still reads `pruned` at the CALLER's action, so release defers to the
     // operator-cache listener
     val top = topKByAgg(scored, k, nOpt)
-    if (topKEagerTier(nOpt)) {
+    if (topKEagerTier(scored.sparkSession, nOpt)) {
       pruned.unpersist(false)
       top.select("query_id", "neighbor_id", "rank", "cosine")
     } else graft.core.OperatorCaches.owned(
