@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Resumable per-query scale probe (sf1/sf10/sf100 evidence collection).
+
+Problem this solves: a full heavy-query suite at sf100 runs tens of minutes,
+and this host's stall waves (BENCH_NOTES.md) can contaminate any window —
+r8's sf100 numbers were healthiest-rep BOUNDS because both long sessions
+caught waves. Collecting the evidence per query, with completed results
+persisted, lets clean medians accumulate ACROSS windows: a wave costs one
+query's attempt, not the whole session.
+
+Each query runs SOLO through scripts/bench_median.py (wave guard + degraded-
+window + spread checks apply per run). A run that exits clean (code 0)
+records {median, spread, sentinel_baseline_s} into the state file and is
+SKIPPED on every later invocation; a contaminated/degraded run (codes 3/4/5)
+records nothing — re-invoke later and only the missing queries run. Delete
+the state file (or pass --fresh) to re-measure everything.
+
+Usage:
+  python3 scripts/scale_probe.py SF_DIR [--cpus 32] [--reps 3]
+      [--queries a,b,c] [--state FILE] [--fresh]
+
+Defaults: the heavy seven from BENCH_NOTES.md's scale tables; state file
+/tmp/graft-scale-probe-<dirname>.json. Set SPARK_DRIVER_MEM=64g for sf100
+(see the verify skill). Exits 0 when every requested query has a clean
+median (printing the combined table), 1 when queries remain.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HEAVY = ("a10_percentile_stats,dedup4_dup_clusters,knn3_ivf_top3,"
+         "knn2_lsh_top3,ngram1_jaccard_pairs,dedup2_minhash_pairs,"
+         "dedup3_simhash")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--cpus", default="32")
+    ap.add_argument("--reps", default="3")
+    ap.add_argument("--queries", default=HEAVY)
+    ap.add_argument("--state", default=None)
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+
+    tag = os.path.basename(os.path.normpath(args.sf_dir))
+    state_path = args.state or f"/tmp/graft-scale-probe-{tag}.json"
+    state = {}
+    if args.fresh and os.path.exists(state_path):
+        os.remove(state_path)
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+
+    queries = [q for q in args.queries.split(",") if q]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pending = [q for q in queries if q not in state]
+    done = [q for q in queries if q in state]
+    if done:
+        print(f"# resuming: {len(done)} clean, {len(pending)} pending "
+              f"(state: {state_path})")
+
+    for q in pending:
+        print(f"# probing {q} solo at {args.sf_dir} ...", flush=True)
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=q)
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "bench_median.py"),
+             args.sf_dir, args.cpus, args.reps],
+            env=env, capture_output=True, text=True)
+        line = next((l for l in proc.stdout.splitlines()
+                     if l.startswith('{"metric"')), None)
+        if proc.returncode != 0 or line is None:
+            sys.stderr.write(
+                f"# {q}: UNCLEAN window (exit {proc.returncode}) — not "
+                f"recorded; re-invoke later to retry just this query\n")
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+            continue
+        d = json.loads(line)
+        med = d["queries"].get(q)
+        if med is None or med < 0:
+            sys.stderr.write(f"# {q}: query failed in bench — not recorded\n")
+            continue
+        state[q] = {
+            "median_s": med,
+            "spread": d.get("spread", {}).get(q, [med, med]),
+            "sentinel_baseline_s": d.get("sentinel_baseline_s"),
+            "reps": d.get("reps", 1),
+            "wall_s": round(time.time() - t0, 1),
+            "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(state_path, "w") as f:
+            json.dump(state, f, indent=2, sort_keys=True)
+        print(f"# {q}: clean median {med:.3f}s "
+              f"(sentinel {state[q]['sentinel_baseline_s']:.3f}s) — recorded")
+
+    missing = [q for q in queries if q not in state]
+    print(f"\n# scale probe {args.sf_dir} — {len(queries) - len(missing)}/"
+          f"{len(queries)} clean (all rows wave-guard clean at record time)")
+    print(f"{'query':<32} {'median_s':>9} {'min_s':>9} {'max_s':>9} "
+          f"{'sentinel_s':>10}")
+    for q in queries:
+        if q in state:
+            s = state[q]
+            lo, hi = s["spread"]
+            print(f"{q:<32} {s['median_s']:9.3f} {lo:9.3f} {hi:9.3f} "
+                  f"{s['sentinel_baseline_s']:10.3f}")
+        else:
+            print(f"{q:<32} {'—':>9}")
+    if missing:
+        sys.stderr.write(f"pending: {','.join(missing)} — re-invoke to "
+                         "collect in a cleaner window\n")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,8 +13,9 @@ import org.apache.spark.sql.types._
  * The Spark-side plumbing — schema, partitioning, iterator-to-iterator batch
  * shape, feature-vector output type — is real and tested. The decode kernels
  * themselves are STUBS (deterministic functions of the payload bytes): the
- * image/audio libraries are not in this container. Swap [[StubDecoder]] for a
- * JNI/JavaCPP-backed decoder without touching any query.
+ * image/audio libraries are not in this container. A real decoder plugs in
+ * through the [[MediaCodec]] SPI (registration or ServiceLoader, resolved
+ * by name executor-side) without touching any operator or query.
  *
  * Scale notes: payloads never shuffle for metadata-only queries (the meta
  * struct is a separate column, so column pruning keeps scans payload-free —
@@ -87,8 +88,14 @@ object Multimodal {
    * state (model weights, codec contexts) initializes once per partition.
    * Narrow transformation — no shuffle; output column is array<float>
    * compatible with [[graft.similarity.Knn]].
+   *
+   * `codec` names a [[MediaCodec]] resolved from [[MediaCodecs]] ON THE
+   * EXECUTOR, once per partition — only the name rides the task closure, so
+   * non-serializable native decoders plug in via registration/ServiceLoader
+   * without touching this operator (default: the deterministic stub).
    */
-  def extractFeatures(media: DataFrame, dims: Int = 64): DataFrame = {
+  def extractFeatures(media: DataFrame, dims: Int = 64,
+                      codec: String = "stub"): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -97,11 +104,13 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.select("media_id", "media_type", "payload")
       .mapPartitions { rows =>
-        // decoder/codec init would happen HERE, once per partition
+        // executor-side, once per partition: registry lookup + any lazy
+        // codec init the implementation does
+        val c = MediaCodecs(codec)
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           Row(r.getLong(0), r.getString(1),
-            StubDecoder.features(payload, dims).toSeq)
+            c.features(payload, dims).toSeq)
         }
       }(encoder)
   }

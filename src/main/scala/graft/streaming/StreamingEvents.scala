@@ -50,19 +50,49 @@ object StreamingEvents {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** The exact-dedup sink's ledger layout: one 64-bit fingerprint per ever-
+    * kept document, bucketed ON the fingerprint so the per-batch anti-join
+    * is one-sided (see [[BucketedLedger]]). */
+  def exactDedupLedger(table: String, buckets: Int = 16,
+                       compactAfterFiles: Int = 64): BucketedLedger =
+    BucketedLedger(table, buckets, Seq("fingerprint"), "fingerprint BIGINT",
+      compactAfterFiles)
+
+  /** One micro-batch of the exact-dedup sink, as a plain DataFrame
+    * transform (package-visible so the spec can audit the physical plan):
+    * intra-batch dedup via the batch operator, then a left-anti join whose
+    * LEDGER side is the bucketed scan — only the batch's fingerprints
+    * shuffle, the stream history never re-partitions. */
+  private[streaming] def exactDedupBatch(batch: DataFrame, textCol: String,
+                                         keepOrder: Seq[String],
+                                         ledger: BucketedLedger): DataFrame = {
+    val s = batch.sparkSession
+    val marked = graft.dedup.Dedup.exact(batch, col(textCol), keepOrder.map(col))
+      .filter(!col("is_dup"))
+    val seen = ledger.readOrEmpty(s).select(col("fingerprint").as("dup_group"))
+    marked.join(seen, Seq("dup_group"), "left_anti")
+  }
+
   /**
    * foreachBatch exact-dedup sink — the batch [[graft.dedup.Dedup.exact]]
    * operator composed into the streaming surface, for dedup windows LONGER
    * than a watermark can hold ([[dedupStream]] bounds its state by event
-   * time; this sink's memory of seen content is a parquet fingerprint
-   * LEDGER, so "ever seen" is the whole stream's history).
+   * time; this sink's memory of seen content is a BUCKETED fingerprint
+   * LEDGER table, so "ever seen" is the whole stream's history).
    *
    * Per micro-batch: (1) intra-batch duplicates collapse via the batch
    * operator (keeper = first by `keepOrder`); (2) cross-batch duplicates
-   * drop via a left-anti join against the ledger — a shuffle join on the
-   * uniform 64-bit fingerprint, the same 100 TB-safe shape as batch exact
-   * dedup (only (fingerprint) rows shuffle, never document bodies);
-   * (3) survivors append to `outPath`, their fingerprints to the ledger.
+   * drop via a left-anti join against the ledger — the ledger side is a
+   * bucketed scan read IN PLACE, so only the batch's (fingerprint) rows
+   * shuffle: per-batch join cost is O(batch + ledger-scan), not
+   * O(stream-history shuffle), and document bodies never move;
+   * (3) survivors append to `outPath`, their fingerprints to the ledger
+   * (≤ `buckets` files per batch), which self-compacts past
+   * `compactAfterFiles` (see [[BucketedLedger]]).
+   *
+   * `ledgerTable` is a catalog table name (location under
+   * `spark.sql.warehouse.dir`) — the catalog is what carries the bucketing
+   * metadata that keeps the join one-sided.
    *
    * Delivery: foreachBatch is at-least-once on retry — a batch that fails
    * AFTER the output append but BEFORE the ledger append can re-emit its
@@ -73,31 +103,25 @@ object StreamingEvents {
    * transactional table format instead of raw parquet.
    */
   def exactDedupSink(docs: DataFrame, textCol: String, keepOrder: Seq[String],
-                     outPath: String, ledgerPath: String,
-                     checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+                     outPath: String, ledgerTable: String,
+                     checkpointPath: String, ledgerBuckets: Int = 16,
+                     compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ledger = exactDedupLedger(ledgerTable, ledgerBuckets, compactAfterFiles)
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val marked = graft.dedup.Dedup.exact(batch, col(textCol),
-            keepOrder.map(col))
-          .filter(!col("is_dup"))
-        val seen =
-          try s.read.parquet(ledgerPath).select(col("fingerprint").as("dup_group"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            // first batch: no ledger yet
-            s.range(0).select(col("id").as("dup_group"))
-          }
-        val fresh = marked.join(seen, Seq("dup_group"), "left_anti")
+        val fresh = exactDedupBatch(batch, textCol, keepOrder, ledger)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fresh.drop("dup_group", "dup_rank", "is_dup")
           .write.mode("append").parquet(outPath)
-        fresh.select(col("dup_group").as("fingerprint"))
-          .write.mode("append").parquet(ledgerPath)
+        ledger.append(fresh.select(col("dup_group").as("fingerprint")))
         fresh.unpersist()
+        ledger.maybeCompact(s)
         ()
       }
       .start()
+  }
 
   /**
    * foreachBatch NEAR-duplicate sink — [[graft.dedup.MinHash.nearDuplicates]]
@@ -105,14 +129,13 @@ object StreamingEvents {
    * `Dedup.exact`: intra-batch near-dups collapse with the full batch
    * operator (exact-Jaccard verification, cluster keeper = min id via
    * [[graft.dedup.Dedup.connectedComponents]] — the same semantics as the
-   * batch dedup4 clusters), and cross-batch near-dups drop against a parquet
-   * SIGNATURE LEDGER of every previously kept document.
+   * batch dedup4 clusters), and cross-batch near-dups drop against a
+   * bucketed SIGNATURE LEDGER table of every previously kept document.
    *
    * Cross-batch state is the MinHash signature (k longs per kept doc), not
    * the shingle sets — so ledger rows are constant-size and the cross-batch
    * check is LSH-shaped end to end: batch docs and ledger docs band-join on
-   * [[graft.dedup.MinHash.bandKeys]] (recomputed from the stored signature —
-   * no band state persisted), and candidate pairs are scored by signature
+   * [[graft.dedup.MinHash.bandKeys]], and candidate pairs are scored by signature
    * slot agreement, the standard unbiased MinHash estimate of Jaccard
    * (P[slot agrees] = J, so `threshold` applies directly, ±1/√k). The
    * deliberate asymmetry — exact Jaccard within a batch, estimated Jaccard
@@ -124,6 +147,15 @@ object StreamingEvents {
    * bucket only holds mutually-dissimilar docs that happen to collide, which
    * is what keeps the band join skew-safe without a cap as the stream ages.
    *
+   * Ledger LAYOUT: one row per (band of a) kept document — (band_idx,
+   * band_hash, sig) — bucketed on band_hash ([[BucketedLedger]]). Banded
+   * rows cost `bands`× the storage of one-signature-per-doc rows (still
+   * constant per doc), and buy two things at stream scale: the per-batch
+   * band join reads the ledger side IN PLACE (bucket partitioning on
+   * band_hash satisfies the (band_idx, band_hash) join's distribution, so
+   * only the batch's bands shuffle), and the stored band keys skip the
+   * per-batch recomputation of every historical signature's bands.
+   *
    * Sub-`n`-token (incl. empty) documents always pass: their pairwise
    * Jaccard is 0 by convention (see [[graft.dedup.MinHash.nearDuplicates]]),
    * their sentinel signatures never enter the ledger, and their identity
@@ -133,66 +165,96 @@ object StreamingEvents {
    * bounded by one failed batch, ledger append idempotent for later batches.
    */
   def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
-                  threshold: Double, outPath: String, ledgerPath: String,
+                  threshold: Double, outPath: String, ledgerTable: String,
                   checkpointPath: String, n: Int = 3, bands: Int = 8,
                   rowsPerBand: Int = 4, seed: Long = 42L,
-                  maxBucketSize: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                  maxBucketSize: Option[Int] = None, ledgerBuckets: Int = 16,
+                  compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ledger = nearDupLedger(ledgerTable, ledgerBuckets, compactAfterFiles)
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val k = bands * rowsPerBand
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-        // (1) intra-batch: full batch operator (exact-Jaccard verified),
-        // cluster keeper = component min id
-        val pairs = graft.dedup.MinHash.nearDuplicates(b, idCol, col(textCol),
-          threshold, n, bands, rowsPerBand, seed, maxBucketSize, exactStar = true)
-        val comps = graft.dedup.Dedup.connectedComponents(pairs, "left_id", "right_id")
-        val intra = b.join(
-          comps.filter(col("node") =!= col("component"))
-            .select(col("node").as(idCol)),
-          Seq(idCol), "left_anti")
-
-        // (2) cross-batch: band-join batch signatures against the ledger,
-        // drop docs whose slot-agreement estimate reaches the threshold
-        val sigs = intra.withColumn("__sig",
-            graft.dedup.MinHash.signature(col(textCol), n, k, seed))
+        val kept = nearDupBatch(b, idCol, textCol, threshold, n, bands,
+            rowsPerBand, seed, maxBucketSize, ledger)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val ledger =
-          try s.read.parquet(ledgerPath).select(col("__lsig"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            s.range(0).select(array().cast("array<bigint>").as("__lsig"))
-          }
-        // try_element_at: the first-batch ledger placeholder is a ZERO-length
-        // array (schema-only), where ANSI element_at throws; null =!= -1
-        // filters it out, which is exactly right
-        def banded(df: DataFrame, sigCol: String) =
-          df.filter(try_element_at(col(sigCol), lit(1)) =!= -1L)
-            .select(df.columns.map(col) :+
-              explode(graft.dedup.MinHash.bandKeys(col(sigCol), bands, rowsPerBand)).as("__b"): _*)
-            .select(df.columns.map(col) :+ col("__b.band_idx").as("band_idx")
-              :+ col("__b.band_hash").as("band_hash"): _*)
-        val est = aggregate(
-          zip_with(col("__sig"), col("__lsig"),
-            (a, c) => when(a === c, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / lit(k)
-        val dropIds = banded(sigs.select(col(idCol), col("__sig")), "__sig")
-          .join(banded(ledger, "__lsig"), Seq("band_idx", "band_hash"))
-          .filter(est >= threshold)
-          .select(idCol).distinct()
-        val kept = sigs.join(dropIds, Seq(idCol), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-        // (3) survivors to the output, their signatures to the ledger
+        // survivors to the output, their banded signatures to the ledger
         kept.drop("__sig").write.mode("append").parquet(outPath)
-        kept.filter(element_at(col("__sig"), 1) =!= -1L)
-          .select(col("__sig").as("__lsig"))
-          .write.mode("append").parquet(ledgerPath)
-        kept.unpersist(); sigs.unpersist(); b.unpersist()
+        ledger.append(bandedSignatures(kept, bands, rowsPerBand))
+        kept.unpersist(); b.unpersist()
+        ledger.maybeCompact(s)
         ()
       }
       .start()
+  }
+
+  /** The near-dup sink's ledger: banded signatures bucketed on BOTH band
+    * join keys (layout rationale in [[nearDupSink]]). Bucketing on
+    * band_hash alone would cluster identically, but Spark's co-partition
+    * check (`spark.sql.requireAllClusterKeysForCoPartition`, default on)
+    * only elides the join shuffle when the bucket keys equal ALL join keys
+    * — a subset re-shuffles the ledger, defeating the point. */
+  def nearDupLedger(table: String, buckets: Int = 16,
+                    compactAfterFiles: Int = 64): BucketedLedger =
+    BucketedLedger(table, buckets, Seq("band_idx", "band_hash"),
+      "band_idx INT, band_hash BIGINT, sig ARRAY<BIGINT>", compactAfterFiles)
+
+  /** One micro-batch of the near-dup sink (package-visible for the plan
+    * spec): intra-batch near-dup collapse via the full batch operator, then
+    * the cross-batch band join against the bucketed ledger. Returns the
+    * kept rows with their `__sig` signature column still attached. */
+  private[streaming] def nearDupBatch(b: DataFrame, idCol: String,
+                                      textCol: String, threshold: Double,
+                                      n: Int, bands: Int, rowsPerBand: Int,
+                                      seed: Long, maxBucketSize: Option[Int],
+                                      ledger: BucketedLedger): DataFrame = {
+    val s = b.sparkSession
+    val k = bands * rowsPerBand
+
+    // (1) intra-batch: full batch operator (exact-Jaccard verified),
+    // cluster keeper = component min id
+    val pairs = graft.dedup.MinHash.nearDuplicates(b, idCol, col(textCol),
+      threshold, n, bands, rowsPerBand, seed, maxBucketSize, exactStar = true)
+    val comps = graft.dedup.Dedup.connectedComponents(pairs, "left_id", "right_id")
+    val intra = b.join(
+      comps.filter(col("node") =!= col("component"))
+        .select(col("node").as(idCol)),
+      Seq(idCol), "left_anti")
+
+    // (2) cross-batch: band-join batch signatures against the ledger's
+    // stored bands (ledger side: bucketed scan, no shuffle), drop docs
+    // whose slot-agreement estimate reaches the threshold. try_element_at
+    // skips sub-n-token sentinel signatures (value -1 in slot 1).
+    val sigs = intra.withColumn("__sig",
+      graft.dedup.MinHash.signature(col(textCol), n, k, seed))
+    val batchBands = sigs.select(col(idCol), col("__sig"))
+      .filter(try_element_at(col("__sig"), lit(1)) =!= -1L)
+      .select(col(idCol), col("__sig"),
+        explode(graft.dedup.MinHash.bandKeys(col("__sig"), bands, rowsPerBand)).as("__b"))
+      .select(col(idCol), col("__sig"),
+        col("__b.band_idx").as("band_idx"), col("__b.band_hash").as("band_hash"))
+    val est = aggregate(
+      zip_with(col("__sig"), col("__lsig"),
+        (a, c) => when(a === c, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / lit(k)
+    val dropIds = batchBands
+      .join(ledger.readOrEmpty(s).withColumnRenamed("sig", "__lsig"),
+        Seq("band_idx", "band_hash"))
+      .filter(est >= threshold)
+      .select(idCol).distinct()
+    sigs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Kept rows → their ledger rows: one (band_idx, band_hash, sig) row per
+    * band per valid (non-sentinel) signature. */
+  private[streaming] def bandedSignatures(kept: DataFrame, bands: Int,
+                                          rowsPerBand: Int): DataFrame =
+    kept.filter(element_at(col("__sig"), 1) =!= -1L)
+      .select(explode(graft.dedup.MinHash.bandKeys(col("__sig"), bands, rowsPerBand)).as("__b"),
+        col("__sig"))
+      .select(col("__b.band_idx").as("band_idx"),
+        col("__b.band_hash").as("band_hash"), col("__sig").as("sig"))
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)

@@ -17,6 +17,18 @@ class StreamingEventsSpec extends SparkSpecBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  /** Drop a ledger table AND its warehouse directory (a previous test JVM's
+    * managed files outlive the in-memory catalog). */
+  private def dropLedger(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}__compacting")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Seq(name, name + "__compacting").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("windowedCounts aggregates per hour window with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
@@ -71,8 +83,9 @@ class StreamingEventsSpec extends SparkSpecBase {
     val input = MemoryStream[(Long, Timestamp, String)]
     val docs = input.toDF().toDF("doc_id", "ts", "text")
 
+    dropLedger("sed_ledger")
     val q = StreamingEvents.exactDedupSink(docs, "text", keepOrder = Seq("doc_id"),
-      outPath = s"$dir/out", ledgerPath = s"$dir/ledger",
+      outPath = s"$dir/out", ledgerTable = "sed_ledger",
       checkpointPath = s"$dir/ckpt")
     // batch 1: intra-batch duplicate (docs 1/2) + a unique doc
     input.addData(
@@ -92,7 +105,7 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(kept == Set(1L, 3L, 5L),
       s"keeper set wrong: $kept — intra-batch keeper is min doc_id; cross-batch dups must drop")
     // ledger holds exactly the three distinct fingerprints
-    assert(spark.read.parquet(s"$dir/ledger").distinct().count() == 3)
+    assert(spark.table("sed_ledger").distinct().count() == 3)
   }
 
   test("nearDupSink: MinHash near-dup composed via foreachBatch, signature ledger spans batches") {
@@ -108,8 +121,9 @@ class StreamingEventsSpec extends SparkSpecBase {
     val unrelated = "completely different subject matter entirely about " +
       "compilers optimizing sparse matrix multiplication kernels on gpus"
 
+    dropLedger("snd_ledger")
     val q = StreamingEvents.nearDupSink(docs, "doc_id", "text",
-      threshold = 0.5, outPath = s"$dir/out", ledgerPath = s"$dir/ledger",
+      threshold = 0.5, outPath = s"$dir/out", ledgerTable = "snd_ledger",
       checkpointPath = s"$dir/ckpt")
     // batch 1: near-dup pair (1, 2) — keeper is component min id — plus an
     // unrelated doc
@@ -131,8 +145,105 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(kept == Set(1L, 3L, 5L),
       s"keeper set wrong: $kept — intra-batch keeper is component min id; " +
         "cross-batch near-dups must drop against the signature ledger")
-    // ledger holds one constant-size signature per kept doc
-    assert(spark.read.parquet(s"$dir/ledger").count() == 3)
+    // ledger holds `bands` banded rows per kept doc — 3 distinct signatures
+    val ledger = spark.table("snd_ledger")
+    assert(ledger.select("sig").distinct().count() == 3)
+    assert(ledger.count() == 3 * 8, "one ledger row per (doc, band)")
+  }
+
+  test("sink batch plans never shuffle the ledger side (only the micro-batch moves)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+    def ledgerShuffled(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: FileSourceScanExec if s.tableIdentifier.exists(_.table == table) => s
+      }
+      assert(scans.nonEmpty, s"expected a scan of $table in:\n$plan")
+      assert(scans.forall(_.bucketedScan), s"ledger scan of $table lost bucketing:\n$plan")
+      // flag a shuffle of RAW ledger rows: an exchange whose subtree holds
+      // the ledger scan with no join in between (post-join shuffles carry
+      // batch-derived rows — the tiny dropIds distinct — not the history)
+      val shuffledLedger = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter { e =>
+          e.collect {
+            case s: FileSourceScanExec if s.tableIdentifier.exists(_.table == table) => s
+          }.nonEmpty &&
+            e.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty
+        }
+      assert(shuffledLedger.isEmpty,
+        s"a shuffle re-partitions the raw $table rows — the stream history " +
+          s"shuffles every micro-batch:\n$plan")
+    }
+
+    // AQE + broadcast off: force the worst-case (large-ledger) join shape
+    // the bucketing exists for, and keep executedPlan a plain walkable tree
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      dropLedger("plan_exact_ledger")
+      val el = StreamingEvents.exactDedupLedger("plan_exact_ledger", buckets = 4)
+      el.append(Seq(11L, 22L).toDF("fingerprint"))
+      // >= n tokens so the signatures are real (sentinel sigs constant-fold
+      // the ledger join away over a local batch relation)
+      val batch = Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      ledgerShuffled(
+        StreamingEvents.exactDedupBatch(batch, "text", Seq("doc_id"), el),
+        "plan_exact_ledger")
+
+      dropLedger("plan_near_ledger")
+      val nl = StreamingEvents.nearDupLedger("plan_near_ledger", buckets = 4)
+      val seedDocs = Seq((9L, "the quick brown fox jumps over the lazy dog at dawn"))
+        .toDF("doc_id", "text")
+      val seedSigs = seedDocs.withColumn("__sig",
+        graft.dedup.MinHash.signature(col("text"), 3, 32, 42L))
+      nl.append(StreamingEvents.bandedSignatures(seedSigs, bands = 8, rowsPerBand = 4))
+      ledgerShuffled(
+        StreamingEvents.nearDupBatch(batch, "doc_id", "text", 0.5, 3, 8, 4, 42L,
+          None, nl),
+        "plan_near_ledger")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("exactDedupSink ledger self-compacts across many batches, semantics unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-dedup-compact").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    dropLedger("sed_compact_ledger")
+    // tight thresholds so the small stream actually crosses them
+    val q = StreamingEvents.exactDedupSink(docs, "text", keepOrder = Seq("doc_id"),
+      outPath = s"$dir/out", ledgerTable = "sed_compact_ledger",
+      checkpointPath = s"$dir/ckpt", ledgerBuckets = 2, compactAfterFiles = 4)
+    // 6 batches: each adds one new doc and repeats one older doc
+    (0 until 6).foreach { i =>
+      input.addData(
+        (i * 10L, ts(f"2024-01-01 ${10 + i}%02d:00:00"), s"unique content number $i"),
+        (i * 10L + 1L, ts(f"2024-01-01 ${10 + i}%02d:01:00"), "repeated content"))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val ledger = StreamingEvents.exactDedupLedger("sed_compact_ledger", 2, 4)
+    assert(ledger.fileCount(spark) <= 6,
+      s"ledger fragmented to ${ledger.fileCount(spark)} files — compaction never ran " +
+        "(6 batches x 2 buckets = up to 12 without it)")
+    assert(graft.core.Decisions.snapshot.exists { case (k, v) =>
+      k.startsWith("ledger.compact(sed_compact_ledger") && v == "true" },
+      "no compaction decision recorded")
+    // semantics: 6 unique docs + the first instance of the repeated doc
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept == (0 until 6).map(_ * 10L).toSet + 1L,
+      s"keeper set wrong after compactions: $kept")
+    assert(spark.table("sed_compact_ledger").distinct().count() == 7)
   }
 
   test("dedupStream drops watermark-window duplicates by content fingerprint") {
