@@ -200,11 +200,10 @@ object SparkEntry {
       import graft.operators.ExactQuantiles
       val flag = Seq("l_returnflag")
       // cumulative multiset positions: row covers 0-based indices
-      // [__start, __end) of its group's sorted-with-frequency multiset
-      // r8 pass fusion: the per-group multiset size (totalCol) rides the
-      // cumulate sort's own WindowExec, so the bounds pass needs no totals
-      // aggregation + broadcast join — the persisted table now has exactly
-      // two aggregate consumers (bounds is index arithmetic + one agg).
+      // [__start, __end) of its group's sorted-with-frequency multiset;
+      // totalCol rides the cumulate sort's own WindowExec (r8), which is
+      // what lets the r9 trimmedMoments fusion below decide the trim
+      // predicate from indices alone.
       // cumulateFromFact (r8): the plain cumulate window partitions by
       // GROUP, so its sort parallelism is the group count — THREE tasks
       // here no matter the cluster; measured at sf1/32 cores that boundary
@@ -219,23 +218,22 @@ object SparkEntry {
       def vAt(idx: Column): Column = ExactQuantiles.valueAt(idx, "l_extendedprice")
       def interp(pos: Column, lo: Column, hi: Column, vLo: Column, vHi: Column): Column =
         ExactQuantiles.interpolate(pos, lo, hi, vLo, vHi)
-      val bounds = ExactQuantiles.quantilesOfCumulated(cum, flag,
-        "l_extendedprice", Seq(0.01 -> "__lo", 0.99 -> "__hi"),
-        totalCol = Some("__n"))
-      val btw = col("l_extendedprice").between(col("__lo"), col("__hi"))
-      // greatest(…, 0) guards the single-pass variance against catastrophic
-      // cancellation on near-constant groups (sqrt of a tiny negative → NaN
-      // where the oracle's Welford stddev returns 0.00).
-      val m = cum.join(broadcast(bounds), Seq("l_returnflag"))
-        .groupBy("l_returnflag")
-        .agg(sum(when(btw, col("__cnt"))).as("__nt"),
-          sum(when(btw, col("l_extendedprice") * col("__cnt"))).as("__s1"),
-          sum(when(btw, col("l_extendedprice") * col("l_extendedprice") * col("__cnt"))).as("__s2"),
-          coalesce(sum(when(col("l_extendedprice") < col("__lo"), col("__cnt"))), lit(0L)).as("__b"))
+      // r9 pass fusion: the trim predicate is index arithmetic (totalCol
+      // puts n on every row), so ONE aggregation computes the trimmed
+      // moments AND the below-lo count — no separate bounds pass, no
+      // bounds join; boundary covering rows are re-decided by the exact
+      // value comparisons post-agg (ExactQuantiles.trimmedMoments, proved
+      // equal to the two-pass shape by ExactQuantilesSpec). The persisted
+      // cumulated table now has exactly TWO consumers.
+      // greatest(…, 0) below guards the single-pass variance against
+      // catastrophic cancellation on near-constant groups (sqrt of a tiny
+      // negative → NaN where the oracle's Welford stddev returns 0.00).
+      val m = ExactQuantiles.trimmedMoments(cum, flag, "l_extendedprice",
+          0.01, 0.99)
         // a group whose trim window admits no value must VANISH (the old
         // filter-then-aggregate shape and the oracle both drop it), not
-        // surface as a null-stats row
-        .filter(col("__nt").isNotNull)
+        // surface as a zero-stats row
+        .filter(col("__nt") > 0)
         // the median's multiset indices derive from __nt/__b alone, so they
         // ride along as plain columns: broadcasting THIS table back onto the
         // cumulated table makes one probe pass answer both "fetch the two

@@ -348,6 +348,90 @@ object ExactQuantiles {
       }: _*)
   }
 
+  /**
+   * Quantile-trimmed moments in ONE aggregation pass over a [[cumulate]]d
+   * table (with `totalCol`): per group, the count/sum/sum-of-squares of the
+   * values inside the [pLo, pHi] quantile trim window, plus the count of
+   * values strictly below the low bound (the index shift trimmed-median
+   * consumers need). Output: groupCols, __nt, __s1, __s2, __b.
+   *
+   * The two-pass formulation (quantile bounds via [[quantilesOfCumulated]],
+   * then a conditional aggregation joined against them) costs one whole
+   * extra pass over the cumulated table just to LEARN the bounds it filters
+   * by. But the trim predicate is index arithmetic in disguise: with
+   * `lo = interp(p·(n−1))` sitting between the values at indices
+   * floor/ceil(p·(n−1)), a value v satisfies `v >= lo` iff its index range
+   * ends past ceil(p·(n−1)) — every row except the two covering rows is
+   * decided by indices alone, and `totalCol` puts n on every row. So one
+   * aggregation computes index-predicate base sums PLUS the ≤4 boundary
+   * covering rows (value, count, index range each), and a post-aggregation
+   * projection assembles the exact answer: bounds from the captured values
+   * (the same [[interpolate]] arithmetic as the two-pass shape, bit for
+   * bit), then per boundary row the EXACT value-space membership test,
+   * adding/subtracting the few rows where it disagrees with the index
+   * base. The correction term is what makes this safe against the
+   * floating-point edge the pure-index form ignores: `interp` can round to
+   * exactly the lower covering value (or one ulp past the upper), flipping
+   * that single row's membership — here it is re-decided by the same
+   * comparison the two-pass filter would have made. Equivalence to the
+   * two-pass shape is property-checked (`ExactQuantilesSpec`), and the
+   * per-group correction work is O(1): a 4-element array of structs.
+   */
+  def trimmedMoments(cum: DataFrame, groupCols: Seq[String], valueCol: String,
+                     pLo: Double, pHi: Double, cntCol: String = "__cnt",
+                     startCol: String = "__start", endCol: String = "__end",
+                     totalCol: String = "__n"): DataFrame = {
+    require(0.0 <= pLo && pLo <= pHi && pHi <= 1.0,
+      s"trim quantiles out of order: [$pLo, $pHi]")
+    val v = col(valueCol); val cnt = col(cntCol)
+    val st = col(startCol); val en = col(endCol)
+    val pL = (col(totalCol) - 1).cast("double") * lit(pLo)
+    val pH = (col(totalCol) - 1).cast("double") * lit(pHi)
+    val (lL, hL) = (floor(pL), ceil(pL))
+    val (lH, hH) = (floor(pH), ceil(pH))
+    // index-space trim region: v >= lo ⟺ end > ceil(pL·(n−1)),
+    // v <= hi ⟺ start <= floor(pH·(n−1)) — exact except on covering rows
+    val inBase = en > hL && st <= lH
+    def coverRow(idx: Column) = max(when(st <= idx && idx < en,
+      struct(st.as("s"), en.as("e"), v.as("v"), cnt.as("c"))))
+    val agg = cum.groupBy(groupCols.map(col): _*).agg(
+      coalesce(sum(when(inBase, cnt)), lit(0L)).as("__aN"),
+      coalesce(sum(when(inBase, v * cnt)), lit(0.0)).as("__aS1"),
+      coalesce(sum(when(inBase, v * v * cnt)), lit(0.0)).as("__aS2"),
+      coalesce(sum(when(en <= hL, cnt)), lit(0L)).as("__aB"),
+      max(pL).as("__pL"), max(lL).as("__lL"), max(hL).as("__hL"),
+      max(pH).as("__pH"), max(lH).as("__lH"), max(hH).as("__hH"),
+      coverRow(lL).as("__rLlo"), coverRow(hL).as("__rHlo"),
+      coverRow(lH).as("__rLhi"), coverRow(hH).as("__rHhi"))
+    val lo = interpolate(col("__pL"), col("__lL"), col("__hL"),
+      col("__rLlo.v"), col("__rHlo.v"))
+    val hi = interpolate(col("__pH"), col("__lH"), col("__hH"),
+      col("__rLhi.v"), col("__rHhi.v"))
+    // the (deduped) boundary rows — the only rows whose exact membership
+    // can disagree with the index base
+    val boundary = array_distinct(filter(
+      array(col("__rLlo"), col("__rHlo"), col("__rLhi"), col("__rHhi")),
+      r => r.isNotNull))
+    def corr(pred: Column => Column, f: Column => Column): Column =
+      coalesce(aggregate(filter(boundary, pred), lit(0.0),
+        (acc, r) => acc + f(r)), lit(0.0))
+    def inBaseR(r: Column) =
+      r.getField("e") > col("__hL") && r.getField("s") <= col("__lH")
+    def btwR(r: Column) = r.getField("v") >= lo && r.getField("v") <= hi
+    def fixed(base: Column, f: Column => Column): Column =
+      base + corr(r => btwR(r) && !inBaseR(r), f) -
+        corr(r => !btwR(r) && inBaseR(r), f)
+    def bBaseR(r: Column) = r.getField("e") <= col("__hL")
+    def bR(r: Column) = r.getField("v") < lo
+    val c = (r: Column) => r.getField("c").cast("double")
+    agg.select(groupCols.map(col) ++ Seq(
+      fixed(col("__aN").cast("double"), c).cast("long").as("__nt"),
+      fixed(col("__aS1"), r => r.getField("v") * c(r)).as("__s1"),
+      fixed(col("__aS2"), r => r.getField("v") * r.getField("v") * c(r)).as("__s2"),
+      (col("__aB").cast("double") + corr(r => bR(r) && !bBaseR(r), c) -
+        corr(r => !bR(r) && bBaseR(r), c)).cast("long").as("__b")): _*)
+  }
+
   /** Convenience: compact + cumulate + select in one call, for callers that
     * do not reuse the cumulative table. Uses the fused totals window (r8):
     * the per-group size rides the cumulate sort, so the whole computation is

@@ -46,21 +46,22 @@ object PlanAudit {
         "no percentile hash-map aggregate" -> "!percentile",
         "no object-buffer aggregate" -> "!ObjectHashAggregate",
         "running-sum window over the compacted table" -> "Window",
-        "bounds broadcast back onto compacted table" -> "BroadcastHashJoin",
+        "moments broadcast back onto compacted table" -> "BroadcastHashJoin",
         "map-side compaction of the fact scan" -> "partial_count",
         // cache consumer count, pinned at the small-sf (tier-1) shape: the
         // free metadata probe keeps the compact→window pipeline streaming
         // (no compacted cache), and the cumulated table feeds exactly
-        // THREE aggregate passes (quantile bounds — per-group totals ride
-        // the cumulate sort itself, ExactQuantiles totalCol r8; trimmed
-        // moments; fused median-probe/final). The round-7 shape had a
-        // fourth (separate totals aggregation + broadcast join in the
-        // bounds branch), the round-6 shape a fifth (separate median
-        // indices + a final join); a regression to either shows up as
-        // extra details-header scans. Above FactRowsProbeThreshold the
-        // adaptive tier legitimately adds a fourth (compacted-cache) scan.
-        "exactly 3 consumers of the cached cumulated table" ->
-          "=3:\\(\\d+\\) InMemoryTableScan")),
+        // TWO aggregate passes (fused trimmed-moments — bounds decided by
+        // index arithmetic inside the same aggregation, ExactQuantiles
+        // .trimmedMoments r9; fused median-probe/final). The round-8 shape
+        // had a third (separate quantile-bounds pass + broadcast join),
+        // round 7 a fourth (separate totals aggregation), round 6 a fifth
+        // (separate median indices + a final join); a regression to any
+        // shows up as extra details-header scans. Above
+        // FactRowsProbeThreshold the adaptive tier legitimately adds one
+        // more (compacted-cache) scan.
+        "exactly 2 consumers of the cached cumulated table" ->
+          "=2:\\(\\d+\\) InMemoryTableScan")),
       // the adaptive bucket cap probed this corpus, found no over-cap bucket
       // and must short-circuit to the PLAIN banded plan: no residual
       // anti-join, no recovery union, and no sort-merge join anywhere. The

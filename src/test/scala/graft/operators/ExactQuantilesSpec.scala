@@ -129,4 +129,50 @@ class ExactQuantilesSpec extends SparkSpecBase {
     // group b (all NULL) vanishes, exactly as under percentile
     assert(got == Map("a" -> ((1.0, 2.0, 3.0))))
   }
+
+  /** The TWO-PASS reference the fused form must match bit-for-bit: bounds
+    * via quantilesOfCumulated, then a conditional aggregation joined
+    * against them — the shape a10 shipped through round 8. */
+  private def twoPassTrimmed(cum: org.apache.spark.sql.DataFrame,
+                             pLo: Double, pHi: Double) = {
+    val bounds = ExactQuantiles.quantilesOfCumulated(cum, Seq("g"), "v",
+      Seq(pLo -> "__lo", pHi -> "__hi"), totalCol = Some("__n"))
+    val btw = col("v").between(col("__lo"), col("__hi"))
+    cum.join(broadcast(bounds), Seq("g"))
+      .groupBy("g")
+      .agg(sum(when(btw, col("__cnt"))).as("__nt"),
+        sum(when(btw, col("v") * col("__cnt"))).as("__s1"),
+        sum(when(btw, col("v") * col("v") * col("__cnt"))).as("__s2"),
+        coalesce(sum(when(col("v") < col("__lo"), col("__cnt"))), lit(0L)).as("__b"))
+      .filter(col("__nt").isNotNull)
+  }
+
+  test("trimmedMoments (one-pass, index-space) equals the two-pass bounds shape exactly") {
+    val rnd = new scala.util.Random(23)
+    // many random multisets of co-prime-ish sizes, heavy duplication, plus
+    // degenerate shapes: single row, all-equal, two distinct values — the
+    // covering-row corrections are exactly what these exercise
+    val rows = (1 to 600).map { i =>
+      (s"g${i % 7}", math.floor(rnd.nextDouble() * 40) / 4 + (i % 3) * 0.125)
+    } ++ Seq(("one", 42.0)) ++ (1 to 9).map(_ => ("same", 7.5)) ++
+      (1 to 10).map(i => ("twoval", if (i % 2 == 0) 1.0 else 2.0))
+    val cum = ExactQuantiles.cumulate(
+      ExactQuantiles.compact(rows.toDF("g", "v"), Seq("g"), "v"),
+      Seq("g"), "v", totalCol = Some("__n"))
+      .persist()
+    try {
+      for ((pLo, pHi) <- Seq(0.01 -> 0.99, 0.1 -> 0.9, 0.0 -> 1.0,
+        0.25 -> 0.75, 0.5 -> 0.5)) {
+        val want = twoPassTrimmed(cum, pLo, pHi).collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+        val got = ExactQuantiles.trimmedMoments(cum, Seq("g"), "v", pLo, pHi)
+          .filter(col("__nt") > 0).collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+        assert(got == want, s"trim [$pLo, $pHi]: fused != two-pass\n" +
+          s"got  $got\nwant $want")
+      }
+    } finally { cum.unpersist(); () }
+  }
 }
