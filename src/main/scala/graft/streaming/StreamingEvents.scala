@@ -148,13 +148,15 @@ object StreamingEvents {
    * is what keeps the band join skew-safe without a cap as the stream ages.
    *
    * Ledger LAYOUT: one row per (band of a) kept document — (band_idx,
-   * band_hash, sig) — bucketed on band_hash ([[BucketedLedger]]). Banded
-   * rows cost `bands`× the storage of one-signature-per-doc rows (still
-   * constant per doc), and buy two things at stream scale: the per-batch
-   * band join reads the ledger side IN PLACE (bucket partitioning on
-   * band_hash satisfies the (band_idx, band_hash) join's distribution, so
-   * only the batch's bands shuffle), and the stored band keys skip the
-   * per-batch recomputation of every historical signature's bands.
+   * band_hash, sig) — bucketed on BOTH join keys (band_idx, band_hash)
+   * ([[BucketedLedger]]; see [[nearDupLedger]] for why a band_hash-only
+   * bucket spec would not elide the join shuffle). Banded rows cost
+   * `bands`× the storage of one-signature-per-doc rows (still constant per
+   * doc), and buy two things at stream scale: the per-batch band join
+   * reads the ledger side IN PLACE (bucket partitioning on the full join
+   * key set satisfies the join's distribution, so only the batch's bands
+   * shuffle), and the stored band keys skip the per-batch recomputation of
+   * every historical signature's bands.
    *
    * Sub-`n`-token (incl. empty) documents always pass: their pairwise
    * Jaccard is 0 by convention (see [[graft.dedup.MinHash.nearDuplicates]]),

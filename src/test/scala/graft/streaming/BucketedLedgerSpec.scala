@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.functions._
 
@@ -21,8 +23,9 @@ class BucketedLedgerSpec extends SparkSpecBase {
   private def dropLedger(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(s"DROP TABLE IF EXISTS ${name}__compacting")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}__old")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    Seq(name, name + "__compacting").foreach { t =>
+    Seq(name, name + "__compacting", name + "__old").foreach { t =>
       val p = new org.apache.hadoop.fs.Path(wh, t)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
@@ -99,6 +102,144 @@ class BucketedLedgerSpec extends SparkSpecBase {
         Seq(1L).toDF("fingerprint").join(l.readOrEmpty(spark), Seq("fingerprint"), "left_anti"))
       assert(plan.contains("Bucketed: true"), s"compaction lost bucket metadata:\n$plan")
       assert("\\(\\d+\\) Exchange\\b".r.findAllIn(plan).length === 1)
+    }
+  }
+
+  // --- crash-window recovery: a compaction swap can die at any step; no
+  // --- half-state may cost the ledger its history (the "empty ledger →
+  // --- every historical duplicate re-admits" failure mode).
+
+  test("recovery: crash between the renames (main gone, temp complete) heals and dedup is unchanged") {
+    val l = BucketedLedger("bl_crash_mid", buckets = 2,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    dropLedger("bl_crash_mid")
+    l.append((1L to 20L).toDF("fingerprint"))
+    // simulate: temp written + main renamed away, crash before temp renamed
+    // in — the temp (content-identical here) is the only surviving copy
+    spark.sql("ALTER TABLE bl_crash_mid RENAME TO bl_crash_mid__compacting")
+    assert(!spark.catalog.tableExists("bl_crash_mid"))
+
+    val healed = l.readOrEmpty(spark)
+    assert(spark.catalog.tableExists("bl_crash_mid"), "recover() must reinstate the main table")
+    assert(!spark.catalog.tableExists("bl_crash_mid__compacting"))
+    assert(healed.as[Long].collect().toSet === (1L to 20L).toSet,
+      "recovered ledger must carry the full history")
+
+    // the sink's dedup must behave as if the crash never happened: every
+    // historical fingerprint still drops
+    val batch = (15L to 25L).toDF("fingerprint")
+    val fresh = batch.join(l.readOrEmpty(spark), Seq("fingerprint"), "left_anti")
+    assert(fresh.as[Long].collect().toSet === (21L to 25L).toSet)
+  }
+
+  test("recovery: crash with only the set-aside __old copy restores it") {
+    val l = BucketedLedger("bl_crash_old", buckets = 2,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    dropLedger("bl_crash_old")
+    l.append((1L to 10L).toDF("fingerprint"))
+    spark.sql("ALTER TABLE bl_crash_old RENAME TO bl_crash_old__old")
+
+    assert(l.readOrEmpty(spark).as[Long].collect().toSet === (1L to 10L).toSet)
+    assert(spark.catalog.tableExists("bl_crash_old"))
+    assert(!spark.catalog.tableExists("bl_crash_old__old"))
+  }
+
+  test("recovery: dangling __old after a completed swap is dropped, main untouched") {
+    val l = BucketedLedger("bl_crash_dangle", buckets = 2,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    dropLedger("bl_crash_dangle")
+    l.append((1L to 10L).toDF("fingerprint"))
+    // a stale set-aside copy from a swap that completed through the rename
+    // but died before its final drop
+    Seq(99L).toDF("fingerprint").write.format("parquet")
+      .saveAsTable("bl_crash_dangle__old")
+    l.recover(spark)
+    assert(!spark.catalog.tableExists("bl_crash_dangle__old"))
+    assert(l.readOrEmpty(spark).as[Long].collect().toSet === (1L to 10L).toSet)
+  }
+
+  test("recovery: maybeCompact on the mid-swap state never destroys the only copy") {
+    val l = BucketedLedger("bl_crash_compact", buckets = 2,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT",
+      compactAfterFiles = 2)
+    dropLedger("bl_crash_compact")
+    (0 until 3).foreach(i => l.append(Seq(i * 10L, i * 10L + 1L).toDF("fingerprint")))
+    spark.sql("ALTER TABLE bl_crash_compact RENAME TO bl_crash_compact__compacting")
+    // the old code's first act was DROP TABLE IF EXISTS <tmp> — here that
+    // temp is the ONLY copy; the new code must recover before any drop
+    l.maybeCompact(spark)
+    assert(l.readOrEmpty(spark).as[Long].collect().toSet ===
+      Set(0L, 1L, 10L, 11L, 20L, 21L))
+  }
+
+  // --- bucket-spec validation on reuse
+
+  test("append onto a pre-existing table with a mismatched bucket spec fails loudly") {
+    dropLedger("bl_mismatch")
+    (1L to 10L).toDF("fingerprint").write.format("parquet")
+      .bucketBy(8, "fingerprint").saveAsTable("bl_mismatch")
+    val l = BucketedLedger("bl_mismatch", buckets = 4,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    val e = intercept[IllegalArgumentException] {
+      l.append(Seq(11L).toDF("fingerprint"))
+    }
+    assert(e.getMessage.contains("bucket spec"), e.getMessage)
+    // and an unbucketed pre-existing table is rejected too
+    dropLedger("bl_mismatch")
+    (1L to 10L).toDF("fingerprint").write.format("parquet")
+      .saveAsTable("bl_mismatch")
+    val l2 = BucketedLedger("bl_mismatch", buckets = 4,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    intercept[IllegalArgumentException] { l2.append(Seq(11L).toDF("fingerprint")) }
+  }
+
+  // --- retention: bounded-window dedup semantics
+
+  test("retention: expired rows re-admit immediately and are removed by compaction") {
+    val l = BucketedLedger("bl_retain", buckets = 2,
+      keys = Seq("fingerprint"),
+      schemaDdl = "fingerprint BIGINT, seen_at TIMESTAMP",
+      compactAfterFiles = 2,
+      retention = Some("seen_at >= timestamp'2026-01-01 00:00:00'"))
+    dropLedger("bl_retain")
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2025-06-01 00:00:00")), // expired
+      (2L, Timestamp.valueOf("2026-06-01 00:00:00"))  // inside the window
+    ).toDF("fingerprint", "seen_at")
+    l.append(rows)
+
+    // eager half: the per-batch join view excludes the expired row, so
+    // fingerprint 1 re-admits while fingerprint 2 still drops
+    val batch = Seq(1L, 2L, 3L).toDF("fingerprint")
+    val fresh = batch.join(l.readOrEmpty(spark).select("fingerprint"),
+      Seq("fingerprint"), "left_anti")
+    assert(fresh.as[Long].collect().toSet === Set(1L, 3L))
+
+    // physical half: the compaction rewrite drops the expired row from disk
+    l.append(Seq((4L, Timestamp.valueOf("2026-07-01 00:00:00")),
+      (5L, Timestamp.valueOf("2026-07-02 00:00:00"))).toDF("fingerprint", "seen_at"))
+    assert(l.maybeCompact(spark), "appends should have tripped compaction")
+    assert(spark.table("bl_retain").select("fingerprint").as[Long].collect().toSet
+      === Set(2L, 4L, 5L), "compaction must physically remove expired rows")
+    assert(l.fileCount(spark) <= 2)
+  }
+
+  test("retention filter keeps the ledger-side join one-sided and bucketed") {
+    val l = BucketedLedger("bl_retain_plan", buckets = 4,
+      keys = Seq("fingerprint"),
+      schemaDdl = "fingerprint BIGINT, seen_at TIMESTAMP",
+      retention = Some("seen_at >= timestamp'2026-01-01 00:00:00'"))
+    dropLedger("bl_retain_plan")
+    l.append((1L to 100L).map(i =>
+      (i, Timestamp.valueOf("2026-06-01 00:00:00"))).toDF("fingerprint", "seen_at"))
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val fresh = (90L to 110L).toDF("fingerprint")
+        .join(l.readOrEmpty(spark).select("fingerprint"), Seq("fingerprint"), "left_anti")
+      val plan = formatted(fresh)
+      assert("\\(\\d+\\) Exchange\\b".r.findAllIn(plan).length === 1,
+        s"retention filter must not cost the one-sided plan:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(fresh.as[Long].collect().toSet === (101L to 110L).toSet)
     }
   }
 }
