@@ -94,8 +94,9 @@ def main():
         }
         with open(state_path, "w") as f:
             json.dump(state, f, indent=2, sort_keys=True)
-        print(f"# {q}: clean median {med:.3f}s "
-              f"(sentinel {state[q]['sentinel_baseline_s']:.3f}s) — recorded")
+        sb = state[q]["sentinel_baseline_s"]
+        sb_txt = f"{sb:.3f}s" if sb is not None else "n/a"
+        print(f"# {q}: clean median {med:.3f}s (sentinel {sb_txt}) — recorded")
 
     missing = [q for q in queries if q not in state]
     print(f"\n# scale probe {args.sf_dir} — {len(queries) - len(missing)}/"
@@ -106,8 +107,9 @@ def main():
         if q in state:
             s = state[q]
             lo, hi = s["spread"]
-            print(f"{q:<32} {s['median_s']:9.3f} {lo:9.3f} {hi:9.3f} "
-                  f"{s['sentinel_baseline_s']:10.3f}")
+            sb = s["sentinel_baseline_s"]
+            sb_txt = f"{sb:10.3f}" if sb is not None else f"{'n/a':>10}"
+            print(f"{q:<32} {s['median_s']:9.3f} {lo:9.3f} {hi:9.3f} {sb_txt}")
         else:
             print(f"{q:<32} {'—':>9}")
     if missing:

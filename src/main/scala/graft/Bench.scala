@@ -178,7 +178,18 @@ object Bench {
     val qsFinal = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val totalFinal = finalResults.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$totalFinal,"unit":"sec","queries":$qsFinal,"sf":"$sfDir"$failedJson$spread$wave}""")
+    // Second host-speed floor (r11): the single j1 sentinel can itself catch
+    // a wave edge, making cross-round "sentinel-normalized" comparisons
+    // hostage to one measurement (r10's 1.67× sentinel swing). The median of
+    // the 3 cheapest query medians is a steadier denominator — cheap queries
+    // are scan/agg-bound (host-speed-shaped), and a median of three absorbs
+    // a single inflated member.
+    val cheap = finalResults.filter(_._2 > 0).sortBy(_._2).take(3)
+    val cheapJson =
+      if (cheap.isEmpty) ""
+      else s""","cheap_floor_s":${median(cheap.map(_._2))},"cheap_floor_queries":${
+        cheap.map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$totalFinal,"unit":"sec","queries":$qsFinal,"sf":"$sfDir"$failedJson$spread$wave$cheapJson}""")
     spark.stop()
   }
 }

@@ -25,6 +25,42 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Conf gate for the OPT-IN bucketed base-table layout (default off).
+    *
+    * WHY (the 100 TB argument, SURVEY §4): the engine's dominant repeated
+    * shuffle is the person/user-keyed join + window chain — every pipeline
+    * re-partitions the same fact tables on the same key per run. A one-time
+    * layout pass ([[materializeBucketed]]) persists that partitioning ON
+    * DISK as a bucketed catalog table; with the gate on, loads resolve to
+    * the bucketed scan and every equi-join/groupBy/window on the bucket key
+    * starts from HashPartitioning — no exchange, run after run. Opt-in
+    * because the layout pass costs one full rewrite of each table and only
+    * pays off for key-aligned repeated workloads; with the gate off (or a
+    * table not materialized) behavior is bit-identical to the plain path. */
+  val BucketedLayoutConf = "spark.graft.tables.bucketedLayout"
+
+  /** Catalog name of the bucketed layout table for a base table. */
+  def bucketedTableName(name: String): String = s"graft_bucketed_$name"
+
+  /** One-time layout pass: persist `df` (already normalized by the caller's
+    * convention, so gated reads are drop-in identical) as the bucketed
+    * layout table for `name`. `buckets` should make one bucket ≈ one
+    * comfortable task (≲ 1 GiB) at full scale — see [[Bucketing]]. */
+  def materializeBucketed(df: DataFrame, name: String, buckets: Int,
+                          keys: Seq[String], sortKeys: Seq[String] = Nil): Unit =
+    Bucketing.writeBucketed(df, bucketedTableName(name), buckets, keys, sortKeys)
+
+  /** Gate-aware resolution: the bucketed catalog scan when the layout is
+    * enabled AND materialized for `name`, else None (caller falls back to
+    * the plain parquet path). Every resolution lands in [[Decisions]], so a
+    * run's log shows exactly which tables rode the layout. */
+  def bucketedLayout(spark: SparkSession, name: String): Option[DataFrame] = {
+    val enabled = spark.conf.getOption(BucketedLayoutConf).exists(_.equalsIgnoreCase("true"))
+    val use = enabled && spark.catalog.tableExists(bucketedTableName(name))
+    Decisions.record(s"tables.bucketedLayout($name)", use)
+    if (use) Some(spark.table(bucketedTableName(name))) else None
+  }
+
   /** Raw scan of one table dir (reference spark_utils.py:247). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(dir, name))
@@ -38,9 +74,12 @@ object Tables {
     else df
   }
 
-  /** Load + normalize, the default entry for convention-schema inputs. */
+  /** Load + normalize, the default entry for convention-schema inputs.
+    * Resolves to the bucketed layout table when the opt-in gate is on and
+    * the table is materialized (the materialization stores the NORMALIZED
+    * frame, so the two paths are value-identical). */
   def loadNormalized(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalize(load(spark, dir, name))
+    bucketedLayout(spark, name).getOrElse(normalize(load(spark, dir, name)))
 
   /** Lowercase every column name, nothing else (reference rollups lowercase
     * without the date casts — vocab_utils.py:95,129). */

@@ -72,6 +72,12 @@ final case class BucketedLedger(table: String, buckets: Int,
   def readOrEmpty(spark: SparkSession): DataFrame = {
     recover(spark)
     if (spark.catalog.tableExists(table)) {
+      // the sinks append/compact through the streaming query's CLONED
+      // session; this session's relation cache can therefore point at
+      // files a compaction has since deleted. Refresh costs one file
+      // listing (≤ compactAfterFiles + buckets files by construction) and
+      // makes the scan correct from ANY session.
+      spark.catalog.refreshTable(table)
       val t = spark.table(table)
       retention.fold(t)(r => t.filter(expr(r)))
     }
@@ -162,9 +168,25 @@ final case class BucketedLedger(table: String, buckets: Int,
     }
   }
 
+  /** Data-file count straight off the filesystem — NOT
+    * `spark.table(...).inputFiles`, which reads through the calling
+    * session's relation cache and goes stale when another session appends
+    * (measured: the streaming sinks append through the query's CLONED
+    * session, so a monitoring caller on the original session saw a
+    * frozen count forever). The compaction trigger and any external
+    * observer must agree on fragmentation, so both read the live listing. */
   def fileCount(spark: SparkSession): Int =
-    if (spark.catalog.tableExists(table)) spark.table(table).inputFiles.length
-    else 0
+    if (!spark.catalog.tableExists(table)) 0
+    else {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(TableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(loc)) 0
+      else fs.listStatus(loc).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
 
   /** Rewrite the ledger to exactly `buckets` files when fragmentation
     * exceeds `compactAfterFiles`. Returns true when a rewrite ran (recorded

@@ -48,6 +48,43 @@ class MediaCodecSpec extends SparkSpecBase {
     assert(stub.exists(v => !v.sameElements(Array.fill(4)(0f))))
   }
 
+  test("a META-INF/services codec resolves end-to-end through extractFeatures") {
+    // never explicitly registered anywhere — only the ServiceLoader
+    // resource on the test classpath can supply it, and the resolution
+    // happens inside the operator's partition loop (the executor path)
+    val got = Multimodal.extractFeatures(media, dims = 4, codec = "svc-loader-test")
+      .select("features").as[Array[Float]].collect()
+    assert(got.nonEmpty)
+    got.foreach(v => assert(v.sameElements(Array.fill(4)(42.5f))))
+    assert(MediaCodecs.registered.contains("svc-loader-test"),
+      "first-miss scan should have cached the service codec")
+  }
+
+  test("resolution order: explicit registration beats a ServiceLoader entry") {
+    // force the one-time scan (loads ServiceLoaderShadowedCodec = -1s)
+    MediaCodecs("svc-loader-test")
+    assert(MediaCodecs("svc-shadowed").features(Array[Byte](1), 2)
+      .sameElements(Array(-1f, -1f)))
+    // an explicit register for the same name takes over
+    object ExplicitShadow extends MediaCodec {
+      val name = "svc-shadowed"
+      def features(payload: Array[Byte], dims: Int): Array[Float] =
+        Array.fill(dims)(7f)
+    }
+    MediaCodecs.register(ExplicitShadow)
+    assert(MediaCodecs("svc-shadowed").features(Array[Byte](1), 2)
+      .sameElements(Array(7f, 7f)))
+  }
+
+  test("resolution order: a classpath jar cannot hijack an already-registered name") {
+    // the services resource also lists StubShadowAttemptCodec (name "stub",
+    // all-NaN features); after a scan the built-in stub must still win
+    MediaCodecs("svc-loader-test") // ensure the scan ran
+    val v = MediaCodecs("stub").features("abc".getBytes, 4)
+    assert(!v.exists(_.isNaN), "built-in stub was hijacked by a service entry")
+    assert(v.sameElements(Multimodal.StubDecoder.features("abc".getBytes, 4)))
+  }
+
   test("an unknown codec fails loudly, naming what IS registered") {
     val e = intercept[SparkException] {
       Multimodal.extractFeatures(media, dims = 4, codec = "no-such-codec").collect()
