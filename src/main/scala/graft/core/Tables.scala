@@ -42,23 +42,60 @@ object Tables {
   /** Catalog name of the bucketed layout table for a base table. */
   def bucketedTableName(name: String): String = s"graft_bucketed_$name"
 
-  /** One-time layout pass: persist `df` (already normalized by the caller's
-    * convention, so gated reads are drop-in identical) as the bucketed
-    * layout table for `name`. `buckets` should make one bucket ≈ one
-    * comfortable task (≲ 1 GiB) at full scale — see [[Bucketing]]. */
-  def materializeBucketed(df: DataFrame, name: String, buckets: Int,
-                          keys: Seq[String], sortKeys: Seq[String] = Nil): Unit =
-    Bucketing.writeBucketed(df, bucketedTableName(name), buckets, keys, sortKeys)
+  /** Table properties recording WHAT a layout table materialized: the
+    * source data directory and the normalization convention ("raw" =
+    * [[load]] as-is, "normalized" = [[normalize]]d, "cdm" = the OMOP
+    * normalize+rename of [[graft.omop.Preprocess.domainTable]]). The
+    * catalog name alone is ambiguous — a session pointed at a DIFFERENT
+    * dataset dir, or a raw-vs-normalized mix-up, would silently read the
+    * wrong data through the same `graft_bucketed_<name>` table —
+    * so [[bucketedLayout]] validates both and falls back to the plain
+    * path on any mismatch. */
+  val SourceProp = "graft.layout.source"
+  val ConventionProp = "graft.layout.convention"
+
+  /** Canonical form of a source dir for provenance comparison (trailing
+    * slashes and relative segments must not defeat the match). */
+  private def canonDir(dir: String): String =
+    new java.io.File(dir).getAbsolutePath
+
+  /** One-time layout pass: persist `df` (already normalized per
+    * `convention`, so gated reads are drop-in identical) as the bucketed
+    * layout table for `name`, stamped with its source-dir + convention
+    * provenance. `buckets` should make one bucket ≈ one comfortable task
+    * (≲ 1 GiB) at full scale — see [[Bucketing]]. */
+  def materializeBucketed(df: DataFrame, name: String, sourceDir: String,
+                          convention: String, buckets: Int,
+                          keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
+    val t = bucketedTableName(name)
+    Bucketing.writeBucketed(df, t, buckets, keys, sortKeys)
+    df.sparkSession.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+      s"'$SourceProp'='${canonDir(sourceDir)}', '$ConventionProp'='$convention')")
+  }
 
   /** Gate-aware resolution: the bucketed catalog scan when the layout is
-    * enabled AND materialized for `name`, else None (caller falls back to
-    * the plain parquet path). Every resolution lands in [[Decisions]], so a
-    * run's log shows exactly which tables rode the layout. */
-  def bucketedLayout(spark: SparkSession, name: String): Option[DataFrame] = {
+    * enabled, materialized for `name`, AND its recorded provenance matches
+    * this read's source dir + convention; else None (caller falls back to
+    * the plain parquet path). Every resolution lands in [[Decisions]], so
+    * a run's log shows exactly which tables rode the layout — and why a
+    * mismatched one did not. */
+  def bucketedLayout(spark: SparkSession, name: String, dir: String,
+                     convention: String): Option[DataFrame] = {
     val enabled = spark.conf.getOption(BucketedLayoutConf).exists(_.equalsIgnoreCase("true"))
-    val use = enabled && spark.catalog.tableExists(bucketedTableName(name))
+    val t = bucketedTableName(name)
+    val use = enabled && spark.catalog.tableExists(t) && {
+      val props = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).properties
+      val ok = props.get(SourceProp).contains(canonDir(dir)) &&
+        props.get(ConventionProp).contains(convention)
+      if (!ok) Decisions.record(s"tables.bucketedLayoutMismatch($name)",
+        s"table=[${props.getOrElse(SourceProp, "?")}, " +
+          s"${props.getOrElse(ConventionProp, "?")}] " +
+          s"read=[${canonDir(dir)}, $convention] — falling back to plain path")
+      ok
+    }
     Decisions.record(s"tables.bucketedLayout($name)", use)
-    if (use) Some(spark.table(bucketedTableName(name))) else None
+    if (use) Some(spark.table(t)) else None
   }
 
   /** Raw scan of one table dir (reference spark_utils.py:247). */
@@ -79,7 +116,8 @@ object Tables {
     * the table is materialized (the materialization stores the NORMALIZED
     * frame, so the two paths are value-identical). */
   def loadNormalized(spark: SparkSession, dir: String, name: String): DataFrame =
-    bucketedLayout(spark, name).getOrElse(normalize(load(spark, dir, name)))
+    bucketedLayout(spark, name, dir, "normalized")
+      .getOrElse(normalize(load(spark, dir, name)))
 
   /** Lowercase every column name, nothing else (reference rollups lowercase
     * without the date casts — vocab_utils.py:95,129). */

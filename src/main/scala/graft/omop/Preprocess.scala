@@ -34,7 +34,7 @@ object Preprocess {
     // two paths are value-identical; rollups below are broadcast joins, so
     // the bucketed scan's HashPartitioning survives them into the
     // person-keyed join/window chain downstream
-    var df = Tables.bucketedLayout(spark, name).getOrElse(
+    var df = Tables.bucketedLayout(spark, name, inputFolder, "cdm").getOrElse(
       Tables.normalize(spark.read.parquet(s"$inputFolder/$name"),
         renames = cdmRenames(name)))
 
@@ -83,6 +83,6 @@ object Preprocess {
         renames = cdmRenames(name))
       require(df.columns.contains("person_id"),
         s"$name has no person_id column; the person-bucketed layout doesn't apply")
-      Tables.materializeBucketed(df, name, buckets, Seq("person_id"))
+      Tables.materializeBucketed(df, name, inputFolder, "cdm", buckets, Seq("person_id"))
     }
 }

@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.StructType
  * files. The rewrite swap is NON-destructive (rename main aside → rename
  * compacted temp in → drop the set-aside copy), so at every instant at
  * least one complete copy of the ledger exists under some name; a crash at
- * any point is healed by [[recover]], which every entry point runs first.
+ * any point is healed by [[recover]] on the writer's next append/compaction,
+ * while reads resolve the surviving copy without touching the catalog
+ * (single-writer, many-reader safe).
  * Compaction cost is one ledger rewrite amortized over
  * `compactAfterFiles / buckets` batches, and it rewrites key-plus-signature
  * rows — never document bodies.
@@ -68,20 +70,40 @@ final case class BucketedLedger(table: String, buckets: Int,
     * exists (its HashPartitioning rides into joins), else an empty frame
     * with the ledger schema (first micro-batch). With `retention` set,
     * expired rows are filtered out here so they never suppress a duplicate
-    * past the window, even before compaction physically removes them. */
+    * past the window, even before compaction physically removes them.
+    *
+    * READ-ONLY by design: this entry point never mutates the catalog, so
+    * an external monitor session can poll the ledger while the (single)
+    * writer is mid-compaction without racing the swap — a reader-side
+    * healing rename could rename `__old`/`__compacting` back to main
+    * inside the writer's swap window and crash the writer's own rename.
+    * A crash half-state is instead READ THROUGH: whichever complete copy
+    * survives (main, else the compacted temp, else the set-aside copy) is
+    * scanned in place; the catalog heals on the writer's next
+    * [[append]]/[[maybeCompact]] via [[recover]]. */
   def readOrEmpty(spark: SparkSession): DataFrame = {
-    recover(spark)
-    if (spark.catalog.tableExists(table)) {
-      // the sinks append/compact through the streaming query's CLONED
-      // session; this session's relation cache can therefore point at
-      // files a compaction has since deleted. Refresh costs one file
-      // listing (≤ compactAfterFiles + buckets files by construction) and
-      // makes the scan correct from ANY session.
-      spark.catalog.refreshTable(table)
-      val t = spark.table(table)
-      retention.fold(t)(r => t.filter(expr(r)))
+    val cat = spark.catalog
+    // resolution order mirrors recover(): the temp, when main is gone, is
+    // the complete compacted ledger (crash fell between the two renames);
+    // __old is only authoritative when it is the sole surviving copy
+    val src =
+      if (cat.tableExists(table)) Some(table)
+      else if (cat.tableExists(tmpT)) Some(tmpT)
+      else if (cat.tableExists(oldT)) Some(oldT)
+      else None
+    src match {
+      case Some(t) =>
+        // the sinks append/compact through the streaming query's CLONED
+        // session; this session's relation cache can therefore point at
+        // files a compaction has since deleted. Refresh costs one file
+        // listing (≤ compactAfterFiles + buckets files by construction)
+        // and makes the scan correct from ANY session.
+        cat.refreshTable(t)
+        val df = spark.table(t)
+        retention.fold(df)(r => df.filter(expr(r)))
+      case None =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
-    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
   /**
@@ -100,9 +122,14 @@ final case class BucketedLedger(table: String, buckets: Int,
    *  - main present, `__old` dangling (crash before the final drop): the
    *    swap completed; drop the leftover.
    *
-   * Every public entry point calls this first, so a restarted stream (or
-   * any reader) never observes the "no table → empty ledger → every
-   * historical duplicate re-admits" failure the destructive swap had.
+   * WRITER-ONLY: called from [[append]] and [[maybeCompact]], which run
+   * under the sinks' single-writer discipline. Readers ([[readOrEmpty]],
+   * [[fileCount]]) never heal — a monitor session's healing rename racing
+   * the writer's swap window could rename a half-state back to main
+   * mid-swap and crash the writer's own rename. A restarted stream heals
+   * on its first append, so the "no table → empty ledger → every
+   * historical duplicate re-admits" failure still cannot happen, and
+   * reads in the meantime resolve the surviving copy read-only.
    * Cost when healthy: two catalog existence probes.
    */
   def recover(spark: SparkSession): Unit = {
@@ -111,38 +138,48 @@ final case class BucketedLedger(table: String, buckets: Int,
       if (cat.tableExists(tmpT)) {
         spark.sql(s"ALTER TABLE $tmpT RENAME TO $table")
         graft.core.Decisions.record(s"ledger.recover($table, from=$tmpT)", true)
+        // a restored table may not be the one this instance validated —
+        // re-check its bucket spec before the next append trusts it
+        bucketSpecChecked = false
       } else if (cat.tableExists(oldT)) {
         spark.sql(s"ALTER TABLE $oldT RENAME TO $table")
         graft.core.Decisions.record(s"ledger.recover($table, from=$oldT)", true)
+        bucketSpecChecked = false
       }
     }
-    if (cat.tableExists(table) && cat.tableExists(oldT))
-      spark.sql(s"DROP TABLE $oldT")
+    if (cat.tableExists(table))
+      spark.sql(s"DROP TABLE IF EXISTS $oldT")
   }
 
   /** The writes below pin their file count with an explicit
     * `repartition(buckets, keys)` — AQE would re-plan that exchange (the
     * planned-write shuffle coalesces under
     * `coalescePartitions`, measured: a 2-bucket rewrite produced 4-6 files
-    * tracking the INPUT file count), so it is scoped off for the write
-    * action. Session-scoped conf: concurrent queries on the same session
-    * briefly plan without AQE — acceptable for the tiny ledger writes. */
-  private def withAqeOff[T](spark: SparkSession)(body: => T): T = {
-    val conf = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(conf)
-    spark.conf.set(conf, "false")
-    try body finally spark.conf.set(conf, prev)
+    * tracking the INPUT file count), so the write plans in its OWN derived
+    * session with AQE off. `newSession()` shares the SparkContext and the
+    * catalog (the `saveAsTable` is visible everywhere) but owns its
+    * SQLConf, so concurrent queries on the caller's session never observe
+    * the flipped flag. Session cost is one SessionState per ledger write —
+    * noise against the write itself. */
+  private def writeSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
   }
 
   /** Reusing an existing catalog table with the WRONG bucket layout would
     * silently break the one-sided join (Spark re-shuffles a ledger whose
-    * bucket keys don't equal the join keys) — fail loudly instead. Checked
-    * once per ledger instance, on the first append that finds the table. */
+    * bucket keys don't equal the join keys), and one with a WIDER schema
+    * would silently lose its extra columns at the next compaction rewrite
+    * (which reads the raw files with this ledger's schema) — fail loudly
+    * on both instead. Checked once per ledger instance, on the first
+    * append/compaction that finds the table; re-armed by [[recover]] when
+    * a crash heal swaps a different physical table in. */
   @volatile private var bucketSpecChecked = false
   private def requireBucketSpec(spark: SparkSession): Unit =
     if (!bucketSpecChecked && spark.catalog.tableExists(table)) {
-      val spec = spark.sessionState.catalog
-        .getTableMetadata(TableIdentifier(table)).bucketSpec
+      val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+      val spec = meta.bucketSpec
       val ok = spec.exists(s =>
         s.numBuckets == buckets &&
           s.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase))
@@ -150,6 +187,12 @@ final case class BucketedLedger(table: String, buckets: Int,
         s"existing table $table has bucket spec ${spec.orNull}, but this " +
           s"ledger needs bucketBy($buckets, ${keys.mkString(", ")}); " +
           "reusing it would re-shuffle the ledger side of every batch join")
+      val onDisk = meta.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      val declared = schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      require(onDisk == declared,
+        s"existing table $table has schema ${meta.schema.toDDL}, but this " +
+          s"ledger declares '$schemaDdl'; compacting through the narrower " +
+          "schema would silently drop columns from disk")
       bucketSpecChecked = true
     }
 
@@ -160,12 +203,16 @@ final case class BucketedLedger(table: String, buckets: Int,
     val spark = rows.sparkSession
     recover(spark)
     requireBucketSpec(spark)
-    withAqeOff(spark) {
-      rows.repartition(buckets, keys.map(col): _*)
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, keys.head, keys.tail: _*)
-        .saveAsTable(table)
-    }
+    // re-plan the rows in the AQE-off clone (the upstream compute still
+    // runs under the caller's conf — only the write exchange must not be
+    // re-planned); ledger rows are key+signature sized, so the RDD
+    // round-trip is noise
+    val w = writeSession(spark)
+    w.createDataFrame(rows.rdd, rows.schema)
+      .repartition(buckets, keys.map(col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .saveAsTable(table)
   }
 
   /** Data-file count straight off the filesystem — NOT
@@ -202,13 +249,18 @@ final case class BucketedLedger(table: String, buckets: Int,
     *
     * The swap is non-destructive — rename main aside, rename the compacted
     * temp in, then drop the set-aside copy — so a complete ledger exists
-    * under some name at every instant; [[recover]] (run by every entry
-    * point, including this one) heals whichever half-state a crash leaves.
+    * under some name at every instant; [[recover]] (run by the writer
+    * entry points, including this one) heals whichever half-state a crash
+    * leaves.
     * The initial `DROP TABLE IF EXISTS $tmpT` only ever removes a STALE
     * temp: recover() has just ensured the main table exists, so the temp is
     * never the only copy when that drop runs. */
   def maybeCompact(spark: SparkSession): Boolean = {
     recover(spark)
+    // the rewrite reads the raw files with THIS ledger's schema — a reused
+    // table whose real schema is wider would silently lose columns, so the
+    // same spec/schema gate as append runs before any rewrite
+    requireBucketSpec(spark)
     val n = fileCount(spark)
     val go = n > compactAfterFiles
     graft.core.Decisions.record(s"ledger.compact($table, files=$n)", go)
@@ -217,17 +269,16 @@ final case class BucketedLedger(table: String, buckets: Int,
       val loc = spark.sessionState.catalog
         .getTableMetadata(TableIdentifier(table))
         .location.toString
-      withAqeOff(spark) {
-        val raw = spark.read.schema(schema).parquet(loc)
-        retention.fold(raw)(r => raw.filter(expr(r)))
-          .repartition(buckets, keys.map(col): _*)
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(buckets, keys.head, keys.tail: _*)
-          .saveAsTable(tmpT)
-      }
+      val w = writeSession(spark)
+      val raw = w.read.schema(schema).parquet(loc)
+      retention.fold(raw)(r => raw.filter(expr(r)))
+        .repartition(buckets, keys.map(col): _*)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .saveAsTable(tmpT)
       spark.sql(s"ALTER TABLE $table RENAME TO $oldT")
       spark.sql(s"ALTER TABLE $tmpT RENAME TO $table")
-      spark.sql(s"DROP TABLE $oldT")
+      spark.sql(s"DROP TABLE IF EXISTS $oldT")
     }
     go
   }

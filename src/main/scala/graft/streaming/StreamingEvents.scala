@@ -52,11 +52,16 @@ object StreamingEvents {
 
   /** The exact-dedup sink's ledger layout: one 64-bit fingerprint per ever-
     * kept document, bucketed ON the fingerprint so the per-batch anti-join
-    * is one-sided (see [[BucketedLedger]]). */
+    * is one-sided (see [[BucketedLedger]]). With `retention` set the ledger
+    * carries a `seen_at` append timestamp the retention expression selects
+    * on — bounded-window dedup instead of whole-history dedup. */
   def exactDedupLedger(table: String, buckets: Int = 16,
-                       compactAfterFiles: Int = 64): BucketedLedger =
-    BucketedLedger(table, buckets, Seq("fingerprint"), "fingerprint BIGINT",
-      compactAfterFiles)
+                       compactAfterFiles: Int = 64,
+                       retention: Option[String] = None): BucketedLedger =
+    BucketedLedger(table, buckets, Seq("fingerprint"),
+      if (retention.isDefined) "fingerprint BIGINT, seen_at TIMESTAMP"
+      else "fingerprint BIGINT",
+      compactAfterFiles, retention)
 
   /** One micro-batch of the exact-dedup sink, as a plain DataFrame
     * transform (package-visible so the spec can audit the physical plan):
@@ -101,12 +106,21 @@ object StreamingEvents {
    * anti-join unchanged), so duplicates are bounded by one failed batch;
    * an exactly-once deployment would write output + ledger through a
    * transactional table format instead of raw parquet.
+   *
+   * `retention` (optional) bounds the dedup window: a SQL boolean over the
+   * ledger columns selecting rows that still SUPPRESS (e.g.
+   * `"seen_at > current_timestamp() - interval 30 days"` — `seen_at` is
+   * the fingerprint's append time, written by this sink when retention is
+   * set). A fingerprint outside the window re-admits (and re-stamps its
+   * `seen_at` via the fresh append); compaction physically drops expired
+   * rows ([[BucketedLedger]]).
    */
   def exactDedupSink(docs: DataFrame, textCol: String, keepOrder: Seq[String],
                      outPath: String, ledgerTable: String,
                      checkpointPath: String, ledgerBuckets: Int = 16,
-                     compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ledger = exactDedupLedger(ledgerTable, ledgerBuckets, compactAfterFiles)
+                     compactAfterFiles: Int = 64,
+                     retention: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ledger = exactDedupLedger(ledgerTable, ledgerBuckets, compactAfterFiles, retention)
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -115,7 +129,10 @@ object StreamingEvents {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fresh.drop("dup_group", "dup_rank", "is_dup")
           .write.mode("append").parquet(outPath)
-        ledger.append(fresh.select(col("dup_group").as("fingerprint")))
+        val fps = fresh.select(col("dup_group").as("fingerprint"))
+        ledger.append(
+          if (retention.isDefined) fps.withColumn("seen_at", current_timestamp())
+          else fps)
         fresh.unpersist()
         ledger.maybeCompact(s)
         ()

@@ -51,7 +51,7 @@ object LayoutProbe {
     // one-time layout pass (timed — the cost side of the break-even)
     val materializeS = timeS {
       Tables.materializeBucketed(Tables.load(spark, sfDir, "events"), "events",
-        buckets, Seq("user_id"))
+        sfDir, "raw", buckets, Seq("user_id"))
     }
 
     def runPath(gateOn: Boolean): (Map[String, Double], Map[String, Int]) = {

@@ -2,86 +2,163 @@ package graft.tools
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.GraftSession
 import graft.streaming.StreamingEvents
 
 /**
- * Many-batch soak measurement for the foreachBatch exact-dedup sink — the
+ * Many-batch soak measurement for the foreachBatch dedup sinks — the
  * evidence behind the [[graft.streaming.BucketedLedger]] "flat per-batch"
  * claim, which until this tool existed was plan-derived only
  * (BucketedLedgerSpec pins the one-sided join SHAPE; this measures the
  * TIME).
  *
- * What it does: drives `batches` deterministic micro-batches through
- * [[StreamingEvents.exactDedupSink]] via a MemoryStream, with `dupRate` of
- * each batch's documents repeating earlier batches' content (so the
- * cross-batch anti-join does real work every batch). Broadcast joins are
- * disabled for the session, so the ledger side exercises the bucketed
- * one-sided plan from batch 1 — the plan a 100 TB deployment is on once
- * the ledger dwarfs the broadcast threshold — instead of hiding O(history)
- * behind small-table broadcasts.
+ * Three modes (SPARK_GRAFT_SOAK_MODE):
+ *
+ *  - `exact` (default): drives `batches` deterministic micro-batches
+ *    through [[StreamingEvents.exactDedupSink]], with `dupRate` of each
+ *    batch's documents repeating earlier batches' content (the cross-batch
+ *    anti-join does real work every batch).
+ *  - `neardup`: the same corpus schedule through
+ *    [[StreamingEvents.nearDupSink]] — the banded signature ledger, the
+ *    more shuffle-prone layout (bands× rows, two-key band join). The
+ *    duplicates are EXACT copies, so their MinHash signatures are
+ *    identical, every band matches, and the slot-agreement estimate is
+ *    exactly 1.0 ≥ threshold: the output assertion stays exact (one row
+ *    per distinct document) while the per-batch cost exercises the full
+ *    LSH machinery (signatures, band explode, bucketed band join,
+ *    intra-batch connected components).
+ *  - `retention`: a bounded-window exact-dedup soak in three phases —
+ *    emit corpus A (all unique), sleep past the retention window, re-emit
+ *    A (every fingerprint has EXPIRED → all must re-admit), then
+ *    immediately re-emit A again (every fingerprint was just re-stamped →
+ *    all must drop). Output must hold exactly 2 rows per document: the
+ *    re-admission count equals the expired-fingerprint count, asserted,
+ *    not eyeballed. The tool validates its own timing margins (phases B+C
+ *    must fit inside the window) and aborts as INVALID — distinct from
+ *    FAILED — when the host is too slow for the configured window.
+ *
+ * Broadcast joins are disabled for the session in every mode, so the
+ * ledger side exercises the bucketed one-sided plan from batch 1 — the
+ * plan a 100 TB deployment is on once the ledger dwarfs the broadcast
+ * threshold — instead of hiding O(history) behind small-table broadcasts.
  *
  * What to read from the output: per-batch wall time over a ledger that
  * grows every batch and compacts every ~`compactAfterFiles / buckets`
  * batches. Flat (no O(history) trend) non-compaction batches = the
  * bucketed ledger claim holds; a linear climb would mean the history is
  * being re-shuffled per batch. The file count must sawtooth under
- * `compactAfterFiles + buckets` and never trend. Correctness is asserted,
- * not eyeballed: the sink's output must contain exactly one row per
- * distinct document ever emitted.
+ * `compactAfterFiles + buckets` and never trend.
  *
- * Env knobs: SPARK_GRAFT_SOAK_BATCHES (default 100), SPARK_GRAFT_SOAK_DOCS
- * (per batch, default 2000), SPARK_GRAFT_SOAK_DUP_RATE (default 0.3),
- * SPARK_GRAFT_CPUS (default 16). Prints one JSON line (batch times, decile
- * medians, compaction count, flatness ratio) for BENCH_NOTES.
+ * Env knobs: SPARK_GRAFT_SOAK_MODE (exact|neardup|retention),
+ * SPARK_GRAFT_SOAK_BATCHES (default 100), SPARK_GRAFT_SOAK_DOCS (per
+ * batch, default 2000), SPARK_GRAFT_SOAK_DUP_RATE (default 0.3),
+ * SPARK_GRAFT_SOAK_WINDOW_S (retention window seconds, default 60),
+ * SPARK_GRAFT_CPUS (default 16). Prints one JSON line (batch times,
+ * decile medians, compaction count, flatness ratio) for BENCH_NOTES.
  */
 object StreamingSoak {
 
   final case class Doc(doc_id: Long, text: String)
 
-  def main(args: Array[String]): Unit = {
-    val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "100").toInt
-    val docsPerBatch = sys.env.getOrElse("SPARK_GRAFT_SOAK_DOCS", "2000").toInt
-    val dupRate = sys.env.getOrElse("SPARK_GRAFT_SOAK_DUP_RATE", "0.3").toDouble
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+  /** Deterministic 12-token body for unique doc `u`: token vocabulary is
+    * large (50k) and per-token choice is a hash mix, so two distinct
+    * uniques share ~0 shingles (Jaccard ≈ 0 — no accidental near-dups),
+    * while an exact copy is Jaccard 1 in every mode. */
+  private def body(u: Long): String =
+    (0 until 12).map { j =>
+      val mix = (u * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L)
+      "w" + java.lang.Long.toUnsignedString((mix ^ (mix >>> 31)) % 50000)
+    }.mkString("doc ", " ", "")
 
-    val spark = GraftSession.local(cpus, "streaming-soak")
-    spark.sparkContext.setLogLevel("ERROR")
-    // force the ledger anti-join off the broadcast path: the soak's subject
-    // is the bucketed one-sided plan, the only plan that exists at scale
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    import spark.implicits._
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; if (s.isEmpty) 0 else s(s.size / 2)
+  }
 
-    val root = "/tmp/graft-soak"
+  /** Per-batch walls → exactly 10 decile medians (batch 0 excluded: it
+    * pays stream-start + codegen warmup). `grouped(ceil(n/10))` yields 10
+    * groups for any n ≥ 10 — the previous `(n)/10` floor produced 11
+    * groups at n=99, making "decile 10" a 9-batch remainder. */
+  private def deciles(wallMs: Seq[Double]): Seq[Double] = {
+    val steady = wallMs.drop(1)
+    steady.grouped(math.max(1, math.ceil(steady.size / 10.0).toInt))
+      .map(g => median(g.toSeq)).toSeq
+  }
+
+  private def cleanState(spark: SparkSession, root: String, tables: Seq[String]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val ledgerTable = "soak_ledger"
-    spark.sql(s"DROP TABLE IF EXISTS $ledgerTable")
-    spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable}__compacting")
-    spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable}__old")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    Seq(ledgerTable, ledgerTable + "__compacting", ledgerTable + "__old")
-      .foreach(t => fs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
+    tables.flatMap(t => Seq(t, t + "__compacting", t + "__old")).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SOAK_MODE", "exact")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "100").toInt
+    val docsPerBatch = sys.env.getOrElse("SPARK_GRAFT_SOAK_DOCS", "2000").toInt
+    val dupRate = sys.env.getOrElse("SPARK_GRAFT_SOAK_DUP_RATE", "0.3").toDouble
+    val windowS = sys.env.getOrElse("SPARK_GRAFT_SOAK_WINDOW_S", "60").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+
+    val spark = GraftSession.local(cpus, s"streaming-soak-$mode")
+    spark.sparkContext.setLogLevel("ERROR")
+    // force the ledger joins off the broadcast path: the soak's subject is
+    // the bucketed one-sided plan, the only plan that exists at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val root = s"/tmp/graft-soak-$mode"
+    val ledgerTable = s"soak_ledger_$mode"
+    cleanState(spark, root, Seq(ledgerTable))
 
     val buckets = 8
     val compactAfterFiles = 64
-    val ledger = StreamingEvents.exactDedupLedger(ledgerTable, buckets, compactAfterFiles)
 
+    mode match {
+      case "exact" | "neardup" =>
+        runDupStream(spark, mode, root, ledgerTable, buckets, compactAfterFiles,
+          batches, docsPerBatch, dupRate)
+      case "retention" =>
+        runRetention(spark, root, ledgerTable, buckets, compactAfterFiles,
+          batches, docsPerBatch, windowS)
+      case other => sys.error(s"unknown SPARK_GRAFT_SOAK_MODE: $other")
+    }
+    spark.stop()
+  }
+
+  /** exact/neardup: growing ledger, `dupRate` exact-copy duplicates. */
+  private def runDupStream(spark: SparkSession, mode: String, root: String,
+                           ledgerTable: String, buckets: Int,
+                           compactAfterFiles: Int, batches: Int,
+                           docsPerBatch: Int, dupRate: Double): Unit = {
+    import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Doc]
-    val query = StreamingEvents.exactDedupSink(stream.toDF(), "text",
-      keepOrder = Seq("doc_id"), outPath = s"$root/out",
-      ledgerTable = ledgerTable, checkpointPath = s"$root/ckpt",
-      ledgerBuckets = buckets, compactAfterFiles = compactAfterFiles)
+    val query: StreamingQuery =
+      if (mode == "exact")
+        StreamingEvents.exactDedupSink(stream.toDF(), "text",
+          keepOrder = Seq("doc_id"), outPath = s"$root/out",
+          ledgerTable = ledgerTable, checkpointPath = s"$root/ckpt",
+          ledgerBuckets = buckets, compactAfterFiles = compactAfterFiles)
+      else
+        StreamingEvents.nearDupSink(stream.toDF(), "doc_id", "text",
+          threshold = 0.7, outPath = s"$root/out",
+          ledgerTable = ledgerTable, checkpointPath = s"$root/ckpt",
+          ledgerBuckets = buckets, compactAfterFiles = compactAfterFiles)
+    val ledger =
+      if (mode == "exact") StreamingEvents.exactDedupLedger(ledgerTable, buckets, compactAfterFiles)
+      else StreamingEvents.nearDupLedger(ledgerTable, buckets, compactAfterFiles)
 
-    // deterministic corpus: unique doc u has text "soak document body <u>";
-    // a duplicate in batch i repeats a uniformly-spread earlier unique. The
-    // xorshift-ish mix keeps the dup choice deterministic without
-    // java.util.Random state threading.
+    // deterministic corpus: a duplicate in batch i repeats a uniformly-
+    // spread earlier unique VERBATIM. The xorshift-ish mix keeps the dup
+    // choice deterministic without java.util.Random state threading.
     var nextUnique = 0L
     val wallMs = ArrayBuffer.empty[Double]
     val files = ArrayBuffer.empty[Int]
@@ -95,7 +172,7 @@ object StreamingSoak {
         }
         val u = if (dup) ((id * 0x2545f4914f6cdd1dL) >>> 33) % nextUnique
                 else { nextUnique += 1; nextUnique - 1 }
-        Doc(id, s"soak document body $u")
+        Doc(id, body(u))
       }
       val t0 = System.nanoTime()
       stream.addData(docs)
@@ -111,39 +188,104 @@ object StreamingSoak {
     }
     query.stop()
 
-    // correctness: exactly one output row per distinct document ever emitted
-    val outCount = spark.read.parquet(s"$root/out").count()
-    val outDistinct = spark.read.parquet(s"$root/out")
-      .select(col("text")).distinct().count()
+    // correctness: exactly one output row per distinct document ever
+    // emitted — intra-batch and cross-batch duplicates (exact copies, so
+    // estimate 1.0 in neardup mode) all dropped
+    val out = spark.read.parquet(s"$root/out")
+    val outCount = out.count()
+    val outDistinct = out.select(col("text")).distinct().count()
     require(outCount == nextUnique && outDistinct == nextUnique,
       s"soak dedup broken: $outCount rows / $outDistinct distinct, " +
         s"expected $nextUnique uniques")
 
-    // flatness: median per-batch wall of each decile (compaction spikes
-    // included — they are part of the amortized cost), plus a first-vs-last
-    // decile ratio. Batch 0 pays stream-start + codegen warmup; drop it
-    // from the first decile so the ratio reads steady-state.
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; if (s.isEmpty) 0 else s(s.size / 2)
-    }
-    val deciles = wallMs.drop(1).grouped(math.max(1, (batches - 1) / 10))
-      .map(g => median(g.toSeq)).toSeq
-    val flatness = if (deciles.size >= 2 && deciles.head > 0)
-      deciles.last / deciles.head else 1.0
-
-    val json = Map(
+    val dec = deciles(wallMs.toSeq)
+    val flatness = if (dec.size >= 2 && dec.head > 0) dec.last / dec.head else 1.0
+    println(Map(
       "metric" -> "\"streaming_soak\"",
+      "mode" -> s""""$mode"""",
       "batches" -> batches.toString,
       "docs_per_batch" -> docsPerBatch.toString,
       "dup_rate" -> dupRate.toString,
       "unique_docs" -> nextUnique.toString,
       "compactions" -> compactions.toString,
       "max_ledger_files" -> files.max.toString,
-      "decile_median_ms" -> deciles.map(d => f"$d%.1f").mkString("[", ",", "]"),
+      "decile_median_ms" -> dec.map(d => f"$d%.1f").mkString("[", ",", "]"),
       "last_over_first_decile" -> f"$flatness%.3f",
       "total_s" -> f"${wallMs.sum / 1000}%.1f"
-    ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(json)
-    spark.stop()
+    ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+  }
+
+  /** retention: three-phase bounded-window soak (see object scaladoc). */
+  private def runRetention(spark: SparkSession, root: String,
+                           ledgerTable: String, buckets: Int,
+                           compactAfterFiles: Int, batches: Int,
+                           docsPerBatch: Int, windowS: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // phase size: a third of the batch budget, at least 2 batches
+    val phaseBatches = math.max(2, batches / 10)
+    val corpus = phaseBatches.toLong * docsPerBatch
+
+    val stream = MemoryStream[Doc]
+    val query = StreamingEvents.exactDedupSink(stream.toDF(), "text",
+      keepOrder = Seq("doc_id"), outPath = s"$root/out",
+      ledgerTable = ledgerTable, checkpointPath = s"$root/ckpt",
+      ledgerBuckets = buckets, compactAfterFiles = compactAfterFiles,
+      retention = Some(s"seen_at > current_timestamp() - interval $windowS seconds"))
+
+    def emitCorpus(phase: String, idBase: Long): Double = {
+      val t0 = System.nanoTime()
+      (0 until phaseBatches).foreach { i =>
+        val docs = (0 until docsPerBatch).map { j =>
+          val u = i.toLong * docsPerBatch + j
+          Doc(idBase + u, body(u))
+        }
+        val b0 = System.nanoTime()
+        stream.addData(docs)
+        query.processAllAvailable()
+        System.err.println(
+          f"# $phase batch $i%3d  ${(System.nanoTime() - b0) / 1e6}%8.1f ms")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val aS = emitCorpus("A", 0L)
+    System.err.println(f"# phase A done in $aS%.1f s; sleeping past the $windowS s window")
+    Thread.sleep((windowS + 15) * 1000L)
+    val bT0 = System.nanoTime()
+    val bS = emitCorpus("B", 10_000_000L) // every A fingerprint expired → re-admit
+    val cS = emitCorpus("C", 20_000_000L) // every fingerprint just re-stamped → drop
+    val bcS = (System.nanoTime() - bT0) / 1e9
+    query.stop()
+
+    // timing validity BEFORE correctness: phase C's drops are only
+    // guaranteed while the B re-stamps are still inside the window
+    require(bcS < windowS * 0.9,
+      f"INVALID RUN (not a dedup failure): phases B+C took $bcS%.1f s, " +
+        f"too close to the $windowS s window — raise SPARK_GRAFT_SOAK_WINDOW_S " +
+        "or shrink the corpus")
+
+    val out = spark.read.parquet(s"$root/out")
+    val outCount = out.count()
+    val outDistinct = out.select(col("text")).distinct().count()
+    require(outCount == 2 * corpus && outDistinct == corpus,
+      s"retention re-admission broken: $outCount rows / $outDistinct " +
+        s"distinct, expected ${2 * corpus} rows (= corpus $corpus admitted " +
+        "in phase A + ALL of it re-admitted after expiry in phase B, none " +
+        "in phase C)")
+
+    println(Map(
+      "metric" -> "\"streaming_soak\"",
+      "mode" -> "\"retention\"",
+      "phase_batches" -> phaseBatches.toString,
+      "docs_per_batch" -> docsPerBatch.toString,
+      "corpus" -> corpus.toString,
+      "window_s" -> windowS.toString,
+      "phase_a_s" -> f"$aS%.1f",
+      "phase_b_s" -> f"$bS%.1f",
+      "phase_c_s" -> f"$cS%.1f",
+      "readmitted" -> (outCount - corpus).toString,
+      "expired" -> corpus.toString
+    ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
   }
 }

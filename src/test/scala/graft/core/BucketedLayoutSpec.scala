@@ -43,20 +43,46 @@ class BucketedLayoutSpec extends SparkSpecBase {
   test("gate off: plain parquet path even when a layout table exists") {
     dropLayout("events")
     Tables.materializeBucketed(Tables.load(spark, sfDir, "events"), "events",
-      buckets = 4, keys = Seq("user_id"))
+      sfDir, "raw", buckets = 4, keys = Seq("user_id"))
     withGate(false) {
-      assert(Tables.bucketedLayout(spark, "events").isEmpty)
+      assert(Tables.bucketedLayout(spark, "events", sfDir, "raw").isEmpty)
       assert(Decisions.snapshot("tables.bucketedLayout(events)") === "false")
     }
     // and on: resolves
     withGate(true) {
-      assert(Tables.bucketedLayout(spark, "events").isDefined)
+      assert(Tables.bucketedLayout(spark, "events", sfDir, "raw").isDefined)
       assert(Decisions.snapshot("tables.bucketedLayout(events)") === "true")
     }
     // on but not materialized for this name: falls back, records false
     withGate(true) {
-      assert(Tables.bucketedLayout(spark, "orders").isEmpty)
+      assert(Tables.bucketedLayout(spark, "orders", sfDir, "raw").isEmpty)
       assert(Decisions.snapshot("tables.bucketedLayout(orders)") === "false")
+    }
+    dropLayout("events")
+  }
+
+  test("provenance mismatch: a layout for another dir or convention falls back to plain") {
+    dropLayout("events")
+    Tables.materializeBucketed(Tables.load(spark, sfDir, "events"), "events",
+      sfDir, "raw", buckets = 4, keys = Seq("user_id"))
+    withGate(true) {
+      // same name, DIFFERENT source dir: must not serve sf0.001's data to a
+      // session reading sf0.01
+      assert(Tables.bucketedLayout(spark, "events",
+        "/root/testdata/sf0.01", "raw").isEmpty)
+      assert(Decisions.snapshot("tables.bucketedLayout(events)") === "false")
+      assert(Decisions.snapshot.contains("tables.bucketedLayoutMismatch(events)"))
+      // same dir, DIFFERENT convention: a raw materialization must not be
+      // read where normalized values are expected
+      assert(Tables.bucketedLayout(spark, "events", sfDir, "normalized").isEmpty)
+      // trailing slash must NOT defeat the match (canonicalized)
+      assert(Tables.bucketedLayout(spark, "events", sfDir + "/", "raw").isDefined)
+      // loadNormalized goes through the same validation: the raw-convention
+      // table is skipped, values match the plain normalized path
+      val viaGate = Tables.loadNormalized(spark, sfDir, "events")
+      assert(Decisions.snapshot("tables.bucketedLayout(events)") === "false")
+      val plain = Tables.normalize(Tables.load(spark, sfDir, "events"))
+      assert(viaGate.collect().toSet === plain.collect().toSet)
     }
     dropLayout("events")
   }
@@ -64,7 +90,7 @@ class BucketedLayoutSpec extends SparkSpecBase {
   test("seq1 through SparkEntry: identical values, leading exchange elided") {
     dropLayout("events")
     Tables.materializeBucketed(Tables.load(spark, sfDir, "events"), "events",
-      buckets = 4, keys = Seq("user_id"))
+      sfDir, "raw", buckets = 4, keys = Seq("user_id"))
     val q = graft.SparkEntry.queries("seq1_event_sequences")
 
     val plainRows = withGate(false) { q(spark, sfDir).collect().toSet }

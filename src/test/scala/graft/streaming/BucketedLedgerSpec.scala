@@ -109,7 +109,7 @@ class BucketedLedgerSpec extends SparkSpecBase {
   // --- half-state may cost the ledger its history (the "empty ledger →
   // --- every historical duplicate re-admits" failure mode).
 
-  test("recovery: crash between the renames (main gone, temp complete) heals and dedup is unchanged") {
+  test("recovery: crash between the renames (main gone, temp complete) — reads resolve the temp WITHOUT mutating; the next append heals") {
     val l = BucketedLedger("bl_crash_mid", buckets = 2,
       keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
     dropLedger("bl_crash_mid")
@@ -119,20 +119,27 @@ class BucketedLedgerSpec extends SparkSpecBase {
     spark.sql("ALTER TABLE bl_crash_mid RENAME TO bl_crash_mid__compacting")
     assert(!spark.catalog.tableExists("bl_crash_mid"))
 
-    val healed = l.readOrEmpty(spark)
-    assert(spark.catalog.tableExists("bl_crash_mid"), "recover() must reinstate the main table")
-    assert(!spark.catalog.tableExists("bl_crash_mid__compacting"))
-    assert(healed.as[Long].collect().toSet === (1L to 20L).toSet,
-      "recovered ledger must carry the full history")
+    // a READ (e.g. an external monitor) sees the full history but performs
+    // NO catalog mutation — a reader racing the writer's swap window must
+    // not rename tables out from under the writer
+    val read = l.readOrEmpty(spark)
+    assert(read.as[Long].collect().toSet === (1L to 20L).toSet,
+      "read through the surviving temp copy must carry the full history")
+    assert(!spark.catalog.tableExists("bl_crash_mid"),
+      "readOrEmpty must not heal — healing is writer-only")
+    assert(spark.catalog.tableExists("bl_crash_mid__compacting"))
 
-    // the sink's dedup must behave as if the crash never happened: every
-    // historical fingerprint still drops
+    // the WRITER's next append heals the half-state, and dedup behaves as
+    // if the crash never happened: every historical fingerprint still drops
+    l.append(Seq(100L).toDF("fingerprint"))
+    assert(spark.catalog.tableExists("bl_crash_mid"), "append must reinstate the main table")
+    assert(!spark.catalog.tableExists("bl_crash_mid__compacting"))
     val batch = (15L to 25L).toDF("fingerprint")
     val fresh = batch.join(l.readOrEmpty(spark), Seq("fingerprint"), "left_anti")
     assert(fresh.as[Long].collect().toSet === (21L to 25L).toSet)
   }
 
-  test("recovery: crash with only the set-aside __old copy restores it") {
+  test("recovery: crash with only the set-aside __old copy — read-only resolve, then the writer restores it") {
     val l = BucketedLedger("bl_crash_old", buckets = 2,
       keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
     dropLedger("bl_crash_old")
@@ -140,8 +147,13 @@ class BucketedLedgerSpec extends SparkSpecBase {
     spark.sql("ALTER TABLE bl_crash_old RENAME TO bl_crash_old__old")
 
     assert(l.readOrEmpty(spark).as[Long].collect().toSet === (1L to 10L).toSet)
+    assert(!spark.catalog.tableExists("bl_crash_old"),
+      "readOrEmpty must not heal — healing is writer-only")
+
+    l.recover(spark) // what append/maybeCompact run first
     assert(spark.catalog.tableExists("bl_crash_old"))
     assert(!spark.catalog.tableExists("bl_crash_old__old"))
+    assert(l.readOrEmpty(spark).as[Long].collect().toSet === (1L to 10L).toSet)
   }
 
   test("recovery: dangling __old after a completed swap is dropped, main untouched") {
@@ -191,6 +203,61 @@ class BucketedLedgerSpec extends SparkSpecBase {
     val l2 = BucketedLedger("bl_mismatch", buckets = 4,
       keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
     intercept[IllegalArgumentException] { l2.append(Seq(11L).toDF("fingerprint")) }
+  }
+
+  test("reused table with a WIDER schema fails loudly (compaction would drop its columns)") {
+    dropLedger("bl_wide")
+    Seq((1L, "keepme")).toDF("fingerprint", "extra").write.format("parquet")
+      .bucketBy(4, "fingerprint").saveAsTable("bl_wide")
+    val l = BucketedLedger("bl_wide", buckets = 4,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    val e = intercept[IllegalArgumentException] {
+      l.append(Seq(2L).toDF("fingerprint"))
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // ... and maybeCompact runs the same gate before any rewrite
+    val l2 = BucketedLedger("bl_wide", buckets = 4,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT",
+      compactAfterFiles = 4)
+    intercept[IllegalArgumentException] { l2.maybeCompact(spark) }
+    dropLedger("bl_wide")
+  }
+
+  test("recover() re-arms the bucket-spec check: a healed-in table with the wrong spec is caught") {
+    dropLedger("bl_rearm")
+    val l = BucketedLedger("bl_rearm", buckets = 4,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    l.append(Seq(1L).toDF("fingerprint")) // validates the spec, arms the flag
+    // simulate an out-of-band swap: main vanishes, a WRONGLY-bucketed copy
+    // sits at __old; recover() renames it in and must re-validate
+    spark.sql("DROP TABLE bl_rearm")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, "bl_rearm")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Seq(2L).toDF("fingerprint").write.format("parquet")
+      .bucketBy(8, "fingerprint").saveAsTable("bl_rearm__old")
+    val e = intercept[IllegalArgumentException] {
+      l.append(Seq(3L).toDF("fingerprint")) // recover() heals, then re-checks
+    }
+    assert(e.getMessage.contains("bucket spec"), e.getMessage)
+    dropLedger("bl_rearm")
+  }
+
+  test("ledger writes never flip the caller session's AQE flag (cloned-session scope)") {
+    val l = BucketedLedger("bl_aqe", buckets = 2,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT",
+      compactAfterFiles = 2)
+    dropLedger("bl_aqe")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true",
+      "precondition: the spec session runs with AQE on")
+    (0 until 3).foreach(i => l.append(Seq(i.toLong).toDF("fingerprint")))
+    assert(l.maybeCompact(spark), "appends should have tripped compaction")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true",
+      "write path must scope AQE-off to its clone, not the caller session")
+    // and the AQE-off clone still pinned the file count
+    assert(l.fileCount(spark) === 2)
+    assert(l.readOrEmpty(spark).as[Long].collect().toSet === Set(0L, 1L, 2L))
+    dropLedger("bl_aqe")
   }
 
   // --- retention: bounded-window dedup semantics

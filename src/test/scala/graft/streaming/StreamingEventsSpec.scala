@@ -246,6 +246,43 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(spark.table("sed_compact_ledger").distinct().count() == 7)
   }
 
+  test("exactDedupSink with retention: expired fingerprints re-admit; live ones still drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-dedup-retained").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    // a retention window no append can satisfy (every fingerprint is
+    // "expired" the instant it lands) — the deterministic degenerate case:
+    // cross-batch duplicates must ALL re-admit, while intra-batch dedup
+    // (which never consults the ledger) still collapses. The positive case
+    // — live fingerprints suppressing — is the un-retained sink spec above;
+    // the sliding mid-case is wall-clock and lives in the retention soak.
+    dropLedger("sed_retained_ledger")
+    val q = StreamingEvents.exactDedupSink(docs, "text", keepOrder = Seq("doc_id"),
+      outPath = s"$dir/out", ledgerTable = "sed_retained_ledger",
+      checkpointPath = s"$dir/ckpt",
+      retention = Some("seen_at > current_timestamp() + interval 1 hour"))
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "retained alpha"),
+      (2L, ts("2024-01-01 10:01:00"), "retained alpha"), // intra-batch dup
+      (3L, ts("2024-01-01 10:02:00"), "retained beta"))
+    q.processAllAvailable()
+    input.addData(
+      (4L, ts("2024-01-02 09:00:00"), "retained alpha"), // expired → re-admit
+      (5L, ts("2024-01-02 09:01:00"), "retained beta"))  // expired → re-admit
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L),
+      s"keeper set wrong: $kept — every cross-batch dup is past the window " +
+        "and must re-admit; the intra-batch dup (2) must still collapse")
+    // the retained ledger carries the append timestamp the window selects on
+    val cols = spark.table("sed_retained_ledger").columns.toSet
+    assert(cols == Set("fingerprint", "seen_at"), cols.toString)
+  }
+
   test("dedupStream drops watermark-window duplicates by content fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
