@@ -36,3 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra -D flags for the forked JVM — spark conf overrides for one-off
+// experiments (e.g. SPARK_GRAFT_JAVA_OPTS="-Dspark.io.compression.codec=zstd")
+// without editing session defaults.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

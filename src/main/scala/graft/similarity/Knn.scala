@@ -587,16 +587,23 @@ object Knn {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", pairCosine(col("__qv"), col("__qn"), col("__nv"), col("__nn")))
       .select("query_id", "neighbor_id", "cosine")
-    // cache lifecycle follows topKByAgg's materialization tier: the eager
-    // tier persists + forces its n·k output, so `pruned` is fully consumed
-    // by the time it returns and releases immediately; the lazy tier's plan
-    // still reads `pruned` at the CALLER's action, so release defers to the
-    // operator-cache listener
+    // cache lifecycle: `pruned`'s release defers to the operator-cache
+    // listener in BOTH tiers (first caller action → unpersist). The eager
+    // tier DID unpersist inline here once — pruned is fully consumed by
+    // topKByAgg's forced count — but Spark's non-cascading uncache
+    // (SPARK-24596) INVALIDATES the materialized data of every dependent
+    // cache entry, i.e. the top-k output the count just built under the
+    // scoped ObjectHashAggregate fallback raise. The caller's action then
+    // silently re-executed the whole aggregate over the scored stream
+    // OUTSIDE the scope, at the default 128-key threshold: every partition
+    // degraded to the sort-based fallback and externally sorted its slice
+    // of the n·nProbe·(n/cells) stream. Invisible at sf10 (the wasted sort
+    // is seconds), a 3-6× blowup at sf100 (measured: knn3 ~700 s vs the
+    // ~200 s r7 row; all 32 tasks jstack'd inside SortBasedAggregator).
+    // Holding pruned's (n·nProbe, vector-wide) cache until the caller's
+    // first action is the cheap side of that trade at every scale.
     val top = topKByAgg(scored, k, nOpt)
-    if (topKEagerTier(scored.sparkSession, nOpt)) {
-      pruned.unpersist(false)
-      top.select("query_id", "neighbor_id", "rank", "cosine")
-    } else graft.core.OperatorCaches.owned(
+    graft.core.OperatorCaches.owned(
       top.select("query_id", "neighbor_id", "rank", "cosine"), Seq(pruned))
   }
 }
