@@ -721,6 +721,27 @@ object SparkEntry {
             .as("frame_bytes"))
     }),
 
+    // Multimodal: REAL image decode through the javax.imageio codec. The
+    // payloads are genuine PNG bytes synthesized per partition from pure
+    // id arithmetic, so the decoded header fields and per-channel pixel
+    // sums are analytically predictable — the DuckDB oracle recomputes
+    // them without any image code, certifying the encode→decode round
+    // trip end-to-end (codec resolved executor-side via ServiceLoader).
+    // dims=6 → 3 header slots + 3 channel slots: pixels are walked r,g,b
+    // in threes, so slot 3/4/5 are exactly the r/g/b sums.
+    "mm4_real_codec_features" -> ((s, dir) => {
+      val imgs = Multimodal.synthesizeImageTable(
+        T(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(imgs, dims = 6, codec = "imageio")
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 3).cast("long").as("bands"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b"))
+    }),
+
     // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
     // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
     // generation can only lose pairs, never invent them, so equality both
@@ -1329,6 +1350,19 @@ object SparkEntry {
         |    i -> greatest(least(greatest(sz // 4, 1), sz - (sz * i // 4)), 0))) AS BIGINT)
         |    AS frame_bytes
         |FROM s""".stripMargin,
+
+    // analytic reconstruction of the real-codec decode: solid-color PNGs
+    // mean every per-channel sum is width*height*channel — no image code
+    // on the oracle side, so agreement certifies the actual decode
+    "mm4_real_codec_features" ->
+      """SELECT doc_id AS media_id,
+        | doc_id % 5 + 2 AS w,
+        | doc_id % 3 + 2 AS h,
+        | CAST(3 AS BIGINT) AS bands,
+        | (doc_id % 5 + 2) * (doc_id % 3 + 2) * (doc_id % 256) AS sum_r,
+        | (doc_id % 5 + 2) * (doc_id % 3 + 2) * ((doc_id * 7) % 256) AS sum_g,
+        | (doc_id % 5 + 2) * (doc_id % 3 + 2) * ((doc_id * 13) % 256) AS sum_b
+        |FROM documents""".stripMargin,
 
     "mm2_media_features" ->
       """WITH b AS (

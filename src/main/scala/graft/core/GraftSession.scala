@@ -107,6 +107,20 @@ object GraftSession {
    * materializes the aggregate — the call sites persist the (small, bounded)
    * aggregate output and force it inside the wrap, so later caller actions
    * read the cache and never replan the aggregate.
+   *
+   * CRITICAL (r13): when the materialization pattern is persist+force, the
+   * `persist()` call itself must ALSO be inside the wrap. CacheManager
+   * snapshots the session conf at cache REGISTRATION (it compiles the
+   * cached plan against a session whose conf is copied then), and the
+   * cache-building execution runs under that snapshot — a raise applied
+   * only around the force leaves the cached aggregate at the 128-key
+   * default, silently re-introducing the exact external sort this scope
+   * exists to prevent. Measured: knn3's sf100 median was ~745 s with
+   * persist outside the wrap vs the hash-based plan with it inside; the
+   * executors jstack inside SortBasedAggregator while the scoped count
+   * runs. Pattern: `withObjectAggFallbackKeys(s, keys) { val out =
+   * plan.persist(...); OperatorCaches.owned(out, Seq(out), skipMatches=1);
+   * out.count(); out }`.
    */
   def withObjectAggFallbackKeys[T](spark: SparkSession, keys: Long)(body: => T): T = {
     val conf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"

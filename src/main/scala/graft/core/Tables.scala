@@ -55,9 +55,15 @@ object Tables {
   val ConventionProp = "graft.layout.convention"
 
   /** Canonical form of a source dir for provenance comparison (trailing
-    * slashes and relative segments must not defeat the match). */
+    * slashes, relative segments, and symlink spellings must not defeat the
+    * match). `getCanonicalPath` resolves symlinks at stamp/read time, so
+    * the same physical dir reached through a link still matches — and a
+    * link RE-POINTED since materialization resolves to its new target,
+    * mismatches the recorded path, and falls back safely to the plain
+    * path. Provenance is by resolved path, not content: rewriting the
+    * files in place under the same path is not detected. */
   private def canonDir(dir: String): String =
-    new java.io.File(dir).getAbsolutePath
+    new java.io.File(dir).getCanonicalPath
 
   /** One-time layout pass: persist `df` (already normalized per
     * `convention`, so gated reads are drop-in identical) as the bucketed
@@ -69,8 +75,14 @@ object Tables {
                           keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
     val t = bucketedTableName(name)
     Bucketing.writeBucketed(df, t, buckets, keys, sortKeys)
-    df.sparkSession.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
-      s"'$SourceProp'='${canonDir(sourceDir)}', '$ConventionProp'='$convention')")
+    // set the properties through the catalog API, not string-built SQL —
+    // a source dir containing a quote must not break (or worse, reshape)
+    // the statement
+    val catalog = df.sparkSession.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+    val meta = catalog.getTableMetadata(ident)
+    catalog.alterTable(meta.copy(properties = meta.properties ++
+      Map(SourceProp -> canonDir(sourceDir), ConventionProp -> convention)))
   }
 
   /** Gate-aware resolution: the bucketed catalog scan when the layout is

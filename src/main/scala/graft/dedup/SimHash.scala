@@ -95,12 +95,19 @@ object SimHash {
       s"simhash.scopedMaterialize(n=${nDocs.getOrElse(-1L)})", eager)
     if (!eager) fingerprintsPlan(docs, idCol, text)
     else {
-      val out = fingerprintsPlan(docs, idCol, text)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+      // persist() inside the scope, NOT just the force: CacheManager
+      // snapshots the session conf at cache registration, so a raise
+      // applied only around count() never reaches the cache-building
+      // SimHashAgg — it would silently sort-fallback at the 128-key
+      // default (the r13 topKByAgg finding; same pattern here).
       graft.core.GraftSession.withObjectAggFallbackKeys(
-        out.sparkSession, fallbackKeys(out.sparkSession)) { out.count() }
-      out
+        docs.sparkSession, fallbackKeys(docs.sparkSession)) {
+        val out = fingerprintsPlan(docs, idCol, text)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+        out.count()
+        out
+      }
     }
   }
 

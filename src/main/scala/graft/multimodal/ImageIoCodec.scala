@@ -32,13 +32,17 @@ import javax.imageio.ImageIO
 final class ImageIoCodec extends MediaCodec {
   val name = "imageio"
 
-  // ImageIO defaults to spilling its image input streams to temp FILES;
-  // per-row disk churn for in-memory byte payloads is pure overhead
-  ImageIO.setUseCache(false)
-
   def features(payload: Array[Byte], dims: Int): Array[Float] = {
     require(dims >= 4, s"imageio features need dims >= 4 (3 header slots + data), got $dims")
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    // ImageIO.read(InputStream) defaults to spilling its image input
+    // stream to a temp FILE — per-row disk churn for in-memory byte
+    // payloads. Wrapping in a MemoryCacheImageInputStream keeps the
+    // no-temp-file behavior SCOPED to this decode (the
+    // ImageIO.read(ImageInputStream) overload never consults the global
+    // disk-cache flag), instead of flipping ImageIO.setUseCache(false)
+    // JVM-wide for every other ImageIO user in the executor process.
+    val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload)))
     require(img != null,
       "payload is not an image the JVM's ImageIO readers can decode; " +
         "route non-image payloads to another codec (e.g. \"stub\")")

@@ -61,6 +61,54 @@ object Multimodal {
         (size * 10L).cast(LongType).as("duration_ms")).as("meta"))
   }
 
+  /**
+   * Synthesize a media table whose payloads are REAL encoded PNG bytes —
+   * the fixture path that drives [[ImageIoCodec]] (a genuine
+   * javax.imageio decode) end-to-end through [[extractFeatures]] under a
+   * cross-engine oracle. Each id yields a solid-color image whose
+   * dimensions and channel values are pure arithmetic on the id:
+   *
+   *   width = id % 5 + 2, height = id % 3 + 2,
+   *   (r, g, b) = (id % 256, id*7 % 256, id*13 % 256)
+   *
+   * so the decoded features are analytically predictable WITHOUT running
+   * the codec: slot sums are width·height·channel (PNG is lossless; the
+   * images are ≤ 28 px, sums ≤ 7140 — exact in float32). A real pipeline
+   * reads encoded bytes from storage; this generator stands in because
+   * the container ships no image corpus, while the encode→decode round
+   * trip through the JDK's PNG reader/writer stays fully real.
+   *
+   * Encoding runs per partition (narrow, no shuffle), mirroring the
+   * decode loop; the output stream is wrapped in a
+   * MemoryCacheImageOutputStream so ImageIO never spills per-row temp
+   * files regardless of the JVM-global disk-cache flag.
+   */
+  def synthesizeImageTable(ids: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(MediaSchema)
+    ids.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 5 + 2).toInt
+          val h = (id % 3 + 2).toInt
+          val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bytes = new java.io.ByteArrayOutputStream()
+          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bytes)
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.close()
+          Row(id, "image", bytes.toByteArray, Row(w, h, 3, null, w.toLong * h))
+        }
+      }(encoder)
+  }
+
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte], features: Array[Float])
 

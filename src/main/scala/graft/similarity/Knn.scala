@@ -141,16 +141,29 @@ object Knn {
       s"topk.scopedMaterialize(n=${nGroups.getOrElse(-1L)})", eager)
     if (!eager) plan
     else {
-      val out = plan
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      // register BEFORE the force: listener events arrive in execution
-      // order, so skipMatches = 1 lets the internal count pass and the
-      // caller's first action release the cache
-      graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+      // The persist() MUST live inside the conf scope, not just the force:
+      // CacheManager snapshots the session conf when the cache is
+      // REGISTERED, and the cached plan thereafter executes under that
+      // snapshot — a raise applied only around the count() never reaches
+      // the cache-building aggregate, which silently runs at the default
+      // 128-key threshold and externally sorts the full scored stream.
+      // Found at the r13 sf100 probe (knn3 ~745 s post-r12-fix, executors
+      // jstack'd in SortBasedAggregator DURING the scoped count; moving
+      // persist inside the scope is the whole fix). This had been broken
+      // since r8 scoped the raise: r7's 197 s row ran under a
+      // session-wide raise that predated persist-and-force.
       graft.core.GraftSession.withObjectAggFallbackKeys(
-        out.sparkSession, graft.core.Tunables.long(out.sparkSession,
-          "spark.graft.topk.fallbackKeys", TopKAggFallbackKeys)) { out.count() }
-      out
+        scored.sparkSession, graft.core.Tunables.long(scored.sparkSession,
+          "spark.graft.topk.fallbackKeys", TopKAggFallbackKeys)) {
+        val out = plan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // register BEFORE the force: listener events arrive in execution
+        // order, so skipMatches = 1 lets the internal count pass and the
+        // caller's first action release the cache
+        graft.core.OperatorCaches.owned(out, Seq(out), skipMatches = 1)
+        out.count()
+        out
+      }
     }
   }
 
@@ -399,6 +412,9 @@ object Knn {
               planes: Int = 0, tables: Int = 4,
               maxBucketSize: Option[Int] = None,
               probes: Int = -1): DataFrame = {
+    // context-level shuffle-codec advisory (cannot be set per query):
+    // the candidate-pair exchange is this operator's disk-budget driver
+    graft.core.Tunables.recommendShuffleCodec(vecs.sparkSession, "knn.lshTopK")
     // planes = 0 (default): size the tables from the data — see [[autoPlanes]];
     // the same count feeds topKByAgg's materialization tier (explicit planes
     // skip the count, so the tier then defaults to conservative-eager)
@@ -517,6 +533,9 @@ object Knn {
    */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               nCells: Int = 0, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
+    // same disk-budget advisory as lshTopK: the probe-join scored stream
+    // shuffles pair-shaped rows at n·nProbe·(n/cells) volume
+    graft.core.Tunables.recommendShuffleCodec(vecs.sparkSession, "knn.ivfTopK")
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     // the auto-sizing count doubles as topKByAgg's materialization-tier
     // input (explicit nCells skips it → conservative-eager tier)

@@ -50,6 +50,15 @@ import org.apache.spark.sql.types.StructType
  * at-least-once story — a crash between append and compaction leaves a
  * valid (merely uncompacted) ledger.
  */
+object BucketedLedger {
+  /** Transient: a catalog probe succeeded but the directory listing raced
+    * the compaction swap's rename and came back empty (see
+    * [[BucketedLedger.readOrEmpty]]). Retried internally; escapes only if
+    * the listing stays empty past the retry budget — i.e. a genuinely
+    * file-less table, which append() can never produce. */
+  final class MidSwapListing(msg: String) extends RuntimeException(msg)
+}
+
 final case class BucketedLedger(table: String, buckets: Int,
                                 keys: Seq[String], schemaDdl: String,
                                 compactAfterFiles: Int = 64,
@@ -80,19 +89,34 @@ final case class BucketedLedger(table: String, buckets: Int,
     * A crash half-state is instead READ THROUGH: whichever complete copy
     * survives (main, else the compacted temp, else the set-aside copy) is
     * scanned in place; the catalog heals on the writer's next
-    * [[append]]/[[maybeCompact]] via [[recover]]. */
+    * [[append]]/[[maybeCompact]] via [[recover]].
+    *
+    * Concurrency contract (precise form of "many-reader safe"): readers
+    * never CORRUPT the writer's swap, but a read that straddles the
+    * millisecond rename window can transiently misfire three ways —
+    * resolve main just as it is renamed aside (table-not-found at
+    * analysis); probe all three names across the swap so that EACH
+    * probe individually misses (main already aside, temp already
+    * renamed in, `__old` already dropped) and the ledger wrongly reads
+    * as empty; or resolve `__old` just as recover() drops it
+    * (file-not-found at the caller's later action). The resolve+analyze
+    * step below retries through the first two; a failure at ACTION time
+    * is outside this method's reach, so an external monitor that scans
+    * concurrently with live compactions should wrap its action in the
+    * same retry. The in-sink reads are sequential with the writer and
+    * never hit any of the three. */
   def readOrEmpty(spark: SparkSession): DataFrame = {
     val cat = spark.catalog
     // resolution order mirrors recover(): the temp, when main is gone, is
     // the complete compacted ledger (crash fell between the two renames);
     // __old is only authoritative when it is the sole surviving copy
-    val src =
-      if (cat.tableExists(table)) Some(table)
-      else if (cat.tableExists(tmpT)) Some(tmpT)
-      else if (cat.tableExists(oldT)) Some(oldT)
-      else None
-    src match {
-      case Some(t) =>
+    def resolveAndAnalyze(): Option[DataFrame] = {
+      val src =
+        if (cat.tableExists(table)) Some(table)
+        else if (cat.tableExists(tmpT)) Some(tmpT)
+        else if (cat.tableExists(oldT)) Some(oldT)
+        else None
+      src.map { t =>
         // the sinks append/compact through the streaming query's CLONED
         // session; this session's relation cache can therefore point at
         // files a compaction has since deleted. Refresh costs one file
@@ -100,7 +124,54 @@ final case class BucketedLedger(table: String, buckets: Int,
         // and makes the scan correct from ANY session.
         cat.refreshTable(t)
         val df = spark.table(t)
-        retention.fold(df)(r => df.filter(expr(r)))
+        // A catalog probe can succeed while the directory LISTING races
+        // the swap's rename: Spark then logs "directory was not found —
+        // was it deleted very recently?" and builds an EMPTY file index,
+        // so the scan silently returns zero rows (no exception to retry
+        // on — observed by the race soak). Every ledger created by
+        // append() has ≥ 1 data file, so an existing table with an empty
+        // listing is a mid-swap artifact, not an empty ledger: surface it
+        // as a transient miss for the retry loop.
+        if (df.inputFiles.isEmpty)
+          throw new BucketedLedger.MidSwapListing(
+            s"ledger $t resolved with an empty file listing (mid-swap)")
+        df
+      }
+    }
+    // The writer's swap window (two catalog renames + a drop) is
+    // milliseconds; a handful of short retries outlives it without
+    // masking real failures. TWO transient shapes exist (both observed
+    // by the live-compaction race soak in BucketedLedgerSpec):
+    //  - the table vanishes between resolve and analyze → AnalysisException;
+    //  - the three existence probes STRADDLE the swap (main already
+    //    renamed aside when probed, the temp already renamed in when
+    //    probed, __old already dropped when probed) → src=None, which
+    //    without the retry would silently read as "first micro-batch,
+    //    empty ledger" — every historical fingerprint gone to a monitor.
+    // The only legitimate None (no table was ever created) pays ≤ ~300 ms
+    // once; sink callers create the table on their first append.
+    var attempt = 0
+    var resolved: Option[DataFrame] = None
+    var done = false
+    while (!done) {
+      val out =
+        try Some(resolveAndAnalyze())
+        catch {
+          case _: org.apache.spark.sql.AnalysisException if attempt < 5 => None
+          case _: BucketedLedger.MidSwapListing if attempt < 5 => None
+        }
+      out match {
+        case Some(r @ Some(_)) => resolved = r; done = true
+        case Some(None) if attempt >= 5 => done = true // genuinely no table
+        case _ =>
+          attempt += 1
+          graft.core.Decisions.record(
+            s"ledger.readRetry($table, attempt=$attempt)", true)
+          Thread.sleep(20L * attempt)
+      }
+    }
+    resolved match {
+      case Some(df) => retention.fold(df)(r => df.filter(expr(r)))
       case None =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
@@ -159,12 +230,27 @@ final case class BucketedLedger(table: String, buckets: Int,
     * session with AQE off. `newSession()` shares the SparkContext and the
     * catalog (the `saveAsTable` is visible everywhere) but owns its
     * SQLConf, so concurrent queries on the caller's session never observe
-    * the flipped flag. Session cost is one SessionState per ledger write —
-    * noise against the write itself. */
-  private def writeSession(spark: SparkSession): SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s
+    * the flipped flag.
+    *
+    * MEMOIZED per parent session: each `newSession()` allocates a fresh
+    * SessionState and registers on the shared listener bus, and sessions
+    * are only reclaimed by GC — one-per-write over a long-lived stream
+    * (1-2 per micro-batch) would churn SessionStates and grow the bus
+    * between GCs. A ledger has a single writer, so a one-slot cache keyed
+    * on the parent session identity suffices; the key is held weakly so a
+    * retired parent session (and its clone) can be collected. */
+  @transient @volatile
+  private var cachedWriteSession: java.lang.ref.WeakReference[(SparkSession, SparkSession)] = null
+  private[streaming] def writeSession(spark: SparkSession): SparkSession = {
+    val cached = Option(cachedWriteSession).flatMap(r => Option(r.get))
+    cached match {
+      case Some((parent, clone)) if parent eq spark => clone
+      case _ =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        cachedWriteSession = new java.lang.ref.WeakReference((spark, s))
+        s
+    }
   }
 
   /** Reusing an existing catalog table with the WRONG bucket layout would

@@ -222,7 +222,9 @@ object StreamingSoak {
                            docsPerBatch: Int, windowS: Int): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // phase size: a third of the batch budget, at least 2 batches
+    // phase size: a tenth of the batch budget, at least 2 batches (keeps
+    // phases B+C comfortably inside the retention window even when the
+    // overall soak budget is long)
     val phaseBatches = math.max(2, batches / 10)
     val corpus = phaseBatches.toLong * docsPerBatch
 

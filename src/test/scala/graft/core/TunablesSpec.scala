@@ -44,6 +44,32 @@ class TunablesSpec extends SparkSpecBase {
     }
   }
 
+  test("shuffle-codec advisory records the effective codec and cites the measurement") {
+    // local test sessions run the default codec (lz4) — the advisory must
+    // recommend zstd with the r12 measurement, and the ANN entry points
+    // must emit it (context conf: the engine can only advise, never set)
+    Decisions.clear()
+    val msg = Tunables.recommendShuffleCodec(spark, "knn.lshTopK")
+    assert(msg.contains("zstd"), s"lz4 session should recommend zstd: $msg")
+    assert(msg.contains("293.5"), s"recommendation must cite the r12 measurement: $msg")
+    val recorded = Decisions.snapshot.get("tunable.shuffleCodec(knn.lshTopK)")
+    assert(recorded.exists(_.contains("zstd")), s"decision missing: ${Decisions.snapshot}")
+    // a zstd context is acknowledged, not re-recommended — simulate via the
+    // message branch (the codec conf itself is static and cannot be set here)
+    // by asserting the branch on the returned text contract instead
+    assert(!msg.toLowerCase.startsWith("zstd"), "default-codec session starts from lz4")
+  }
+
+  test("ANN entry points emit the shuffle-codec advisory") {
+    import spark.implicits._
+    val vecs = (1 to 30).map(i => (i.toLong, Array.tabulate(4)(d => (i * (d + 1)).toFloat)))
+      .toDF("id", "vec")
+    Decisions.clear()
+    graft.similarity.Knn.ivfTopK(vecs, "id", "vec", k = 2, nCells = 4).count()
+    assert(Decisions.snapshot.contains("tunable.shuffleCodec(knn.ivfTopK)"),
+      s"ivfTopK must record the advisory: ${Decisions.snapshot.keys}")
+  }
+
   test("simhash materialization tier obeys the scopedMinDocs override") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))

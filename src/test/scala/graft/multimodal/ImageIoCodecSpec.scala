@@ -96,6 +96,23 @@ class ImageIoCodecSpec extends SparkSpecBase {
     got.values.foreach(v => assert(v.sameElements(want)))
   }
 
+  test("synthesizeImageTable payloads decode to the analytic id arithmetic (mm4 contract)") {
+    val ids = Seq(0L, 1L, 7L, 254L, 255L, 1000L).toDF("doc_id")
+    val imgs = Multimodal.synthesizeImageTable(ids, "doc_id")
+    // the payloads must be REAL PNGs (magic bytes), not text stand-ins
+    val onePayload = imgs.select("payload").head().getAs[Array[Byte]](0)
+    assert(onePayload.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val got = Multimodal.extractFeatures(imgs, dims = 6, codec = "imageio")
+      .select("media_id", "features").as[(Long, Array[Float])].collect().toMap
+    got.foreach { case (id, f) =>
+      val w = (id % 5 + 2).toInt; val h = (id % 3 + 2).toInt
+      val px = (w * h).toFloat
+      assert(f(0) === w.toFloat && f(1) === h.toFloat && f(2) === 3f, s"id=$id: ${f.toSeq}")
+      assert(f(3) === px * (id % 256) && f(4) === px * ((id * 7) % 256) &&
+        f(5) === px * ((id * 13) % 256), s"id=$id: ${f.toSeq}")
+    }
+  }
+
   test("non-image payload fails loudly, pointing at the stub fallback") {
     val e = intercept[IllegalArgumentException] {
       MediaCodecs("imageio").features("not an image".getBytes, 8)

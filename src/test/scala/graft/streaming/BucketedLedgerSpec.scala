@@ -260,6 +260,82 @@ class BucketedLedgerSpec extends SparkSpecBase {
     dropLedger("bl_aqe")
   }
 
+  test("writeSession is memoized per parent session (no per-write SessionState churn)") {
+    val l = BucketedLedger("bl_ws", buckets = 2,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    val w1 = l.writeSession(spark)
+    val w2 = l.writeSession(spark)
+    assert(w1 eq w2, "same parent must reuse the cached AQE-off clone")
+    assert(w1.conf.get("spark.sql.adaptive.enabled") === "false")
+    assert(w1 ne spark)
+    // a different parent session gets its own clone (one-slot cache:
+    // single-writer discipline means parents don't interleave)
+    val other = spark.newSession()
+    val w3 = l.writeSession(other)
+    assert(w3 ne w1, "clone must be keyed on the parent session identity")
+    assert(w3.conf.get("spark.sql.adaptive.enabled") === "false")
+  }
+
+  test("concurrent reader never corrupts live compactions and retries through the swap window") {
+    // the r12 design claim, time-verified at spec scale: a read-only
+    // monitor polling readOrEmpty/fileCount while the single writer runs
+    // live append+compaction cycles must (a) never crash the writer's
+    // swap, (b) never see a torn ledger (counts only grow), and (c) come
+    // through any mid-swap window via the bounded retry instead of
+    // surfacing a transient table-not-found.
+    val l = BucketedLedger("bl_race", buckets = 2,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT",
+      compactAfterFiles = 2) // every append trips a compaction: max swap pressure
+    dropLedger("bl_race")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val monitorError = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val monitorReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val monitorSession = spark.newSession()
+    val monitor = new Thread(() => {
+      // per the readOrEmpty contract, a monitor scanning concurrently
+      // with live compactions wraps its ACTION in the same short retry
+      // the resolve step uses (analysis-time misses are retried inside
+      // readOrEmpty; action-time file deletion is the caller's half)
+      def withRetry[T](body: => T): T = {
+        var attempt = 0
+        var out: Option[T] = None
+        while (out.isEmpty) {
+          try out = Some(body)
+          catch {
+            case e @ (_: org.apache.spark.SparkException |
+                      _: org.apache.spark.sql.AnalysisException |
+                      _: java.io.FileNotFoundException) =>
+              if (attempt >= 5) throw e
+              attempt += 1; Thread.sleep(20L * attempt)
+          }
+        }
+        out.get
+      }
+      var lastCount = 0L
+      try while (!stop.get()) {
+        val c = withRetry(l.readOrEmpty(monitorSession).count())
+        assert(c >= lastCount, s"torn read: ledger shrank $lastCount -> $c")
+        lastCount = c
+        withRetry(l.fileCount(monitorSession))
+        monitorReads.incrementAndGet()
+      } catch { case t: Throwable => monitorError.set(t) }
+    }, "ledger-race-monitor")
+    monitor.start()
+    val cycles = 15
+    (0 until cycles).foreach { i =>
+      l.append(Seq(2L * i, 2L * i + 1).toDF("fingerprint"))
+      l.maybeCompact(spark)
+    }
+    stop.set(true)
+    monitor.join(30000)
+    assert(monitorError.get() === null,
+      s"monitor failed mid-compaction: ${monitorError.get()}")
+    assert(monitorReads.get() > 0, "monitor never completed a read")
+    assert(l.readOrEmpty(spark).as[Long].collect().toSet ===
+      (0 until 2 * cycles).map(_.toLong).toSet)
+    dropLedger("bl_race")
+  }
+
   // --- retention: bounded-window dedup semantics
 
   test("retention: expired rows re-admit immediately and are removed by compaction") {
