@@ -742,6 +742,25 @@ object SparkEntry {
           element_at(col("features"), 6).cast("long").as("sum_b"))
     }),
 
+    // Multimodal: REAL audio decode through the javax.sound.sampled codec —
+    // the audio twin of mm4. Payloads are genuine WAV bytes (the JDK's own
+    // WAVE writer) with constant per-channel 8-bit PCM samples derived from
+    // id arithmetic, so header fields and per-channel sums are analytically
+    // predictable and the DuckDB oracle recomputes them without any audio
+    // code. dims=5 → 3 header slots + 2 channel slots (channel ch sums into
+    // slot 3+ch; mono leaves slot 4 at 0).
+    "mm5_real_audio_features" -> ((s, dir) => {
+      val auds = Multimodal.synthesizeAudioTable(
+        T(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(auds, dims = 5, codec = "wav")
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("channels"),
+          element_at(col("features"), 2).cast("long").as("sample_rate"),
+          element_at(col("features"), 3).cast("long").as("frames"),
+          element_at(col("features"), 4).cast("long").as("sum_ch0"),
+          element_at(col("features"), 5).cast("long").as("sum_ch1"))
+    }),
+
     // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
     // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
     // generation can only lose pairs, never invent them, so equality both
@@ -1362,6 +1381,21 @@ object SparkEntry {
         | (doc_id % 5 + 2) * (doc_id % 3 + 2) * (doc_id % 256) AS sum_r,
         | (doc_id % 5 + 2) * (doc_id % 3 + 2) * ((doc_id * 7) % 256) AS sum_g,
         | (doc_id % 5 + 2) * (doc_id % 3 + 2) * ((doc_id * 13) % 256) AS sum_b
+        |FROM documents""".stripMargin,
+
+    // analytic reconstruction of the real-audio decode: constant
+    // per-channel PCM samples mean each channel sum is frames*value —
+    // no audio code on the oracle side, so agreement certifies the
+    // actual WAV encode→decode round trip
+    "mm5_real_audio_features" ->
+      """SELECT doc_id AS media_id,
+        | doc_id % 2 + 1 AS channels,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | doc_id % 32 + 8 AS frames,
+        | (doc_id % 32 + 8) * ((doc_id * 11) % 256) AS sum_ch0,
+        | CASE WHEN doc_id % 2 = 1
+        |   THEN (doc_id % 32 + 8) * ((doc_id * 17) % 256)
+        |   ELSE 0 END AS sum_ch1
         |FROM documents""".stripMargin,
 
     "mm2_media_features" ->

@@ -109,6 +109,55 @@ object Multimodal {
       }(encoder)
   }
 
+  /**
+   * Synthesize a media table whose payloads are REAL encoded WAV bytes —
+   * the audio twin of [[synthesizeImageTable]], driving [[WavCodec]] (a
+   * genuine javax.sound.sampled decode) end-to-end through
+   * [[extractFeatures]] under a cross-engine oracle. Each id yields an
+   * 8-bit unsigned PCM clip whose shape and per-channel constant sample
+   * values are pure arithmetic on the id:
+   *
+   *   channels = id % 2 + 1, sample rate = 8000 Hz, frames = id % 32 + 8,
+   *   sample value on channel ch = id·(11 + 6·ch) % 256
+   *
+   * so the decoded features are analytically predictable WITHOUT running
+   * the codec: per-channel sums are frames·value (≤ 39·255 — exact in
+   * float32). The WAV container itself is written by the JDK's own WAVE
+   * writer, so the encode→decode round trip is fully real; the generator
+   * stands in for an audio corpus the container doesn't ship.
+   *
+   * Encoding runs per partition (narrow, no shuffle), mirroring the
+   * decode loop.
+   */
+  def synthesizeAudioTable(ids: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(MediaSchema)
+    ids.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val channels = (id % 2 + 1).toInt
+          val frames = (id % 32 + 8).toInt
+          val pcm = new Array[Byte](frames * channels)
+          var i = 0
+          while (i < pcm.length) {
+            val ch = i % channels
+            pcm(i) = ((id * (11 + 6 * ch)) % 256).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            8000f, 8, channels, channels, 8000f, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bytes = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bytes)
+          Row(id, "audio", bytes.toByteArray,
+            Row(null, null, channels, 8000, frames * 1000L / 8000L))
+        }
+      }(encoder)
+  }
+
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte], features: Array[Float])
 

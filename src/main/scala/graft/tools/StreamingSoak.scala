@@ -58,8 +58,14 @@ import graft.streaming.StreamingEvents
  * SPARK_GRAFT_SOAK_BATCHES (default 100), SPARK_GRAFT_SOAK_DOCS (per
  * batch, default 2000), SPARK_GRAFT_SOAK_DUP_RATE (default 0.3),
  * SPARK_GRAFT_SOAK_WINDOW_S (retention window seconds, default 60),
- * SPARK_GRAFT_CPUS (default 16). Prints one JSON line (batch times,
- * decile medians, compaction count, flatness ratio) for BENCH_NOTES.
+ * SPARK_GRAFT_SOAK_OBSERVER (exact/neardup only: "1" runs a concurrent
+ * read-only monitor session polling [[graft.streaming.BucketedLedger
+ * .readOrEmpty]]/fileCount for the soak's whole life — the r12
+ * "readers never corrupt the swap" claim time-verified under real
+ * micro-batch traffic and live compactions, with torn reads asserted
+ * against, not eyeballed), SPARK_GRAFT_CPUS (default 16). Prints one
+ * JSON line (batch times, decile medians, compaction count, flatness
+ * ratio, observer read/retry counts) for BENCH_NOTES.
  */
 object StreamingSoak {
 
@@ -156,6 +162,50 @@ object StreamingSoak {
       if (mode == "exact") StreamingEvents.exactDedupLedger(ledgerTable, buckets, compactAfterFiles)
       else StreamingEvents.nearDupLedger(ledgerTable, buckets, compactAfterFiles)
 
+    // optional concurrent observer: a READ-ONLY monitor session polling the
+    // ledger while the writer appends/compacts — the BucketedLedgerSpec race
+    // soak's contract (action-time retry, torn reads asserted) running for
+    // the full soak life instead of 15 spec-scale cycles
+    val observe = sys.env.getOrElse("SPARK_GRAFT_SOAK_OBSERVER", "0") == "1"
+    val stopObserver = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val observerError = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val observerReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val observerRetries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val observer: Option[Thread] = if (!observe) None else Some {
+      val session = spark.newSession()
+      val t = new Thread(() => {
+        // per the readOrEmpty contract: analysis-time swap misses retry
+        // inside readOrEmpty; ACTION-time file deletion is the caller's
+        // half, so the monitor wraps its count() in the same short retry
+        def withRetry[T](body: => T): T = {
+          var attempt = 0
+          var out: Option[T] = None
+          while (out.isEmpty) {
+            try out = Some(body)
+            catch {
+              case e @ (_: org.apache.spark.SparkException |
+                        _: org.apache.spark.sql.AnalysisException |
+                        _: java.io.FileNotFoundException) =>
+                if (attempt >= 5) throw e
+                attempt += 1; observerRetries.incrementAndGet()
+                Thread.sleep(20L * attempt)
+            }
+          }
+          out.get
+        }
+        var lastCount = 0L
+        try while (!stopObserver.get()) {
+          val c = withRetry(ledger.readOrEmpty(session).count())
+          require(c >= lastCount, s"torn read: ledger shrank $lastCount -> $c")
+          lastCount = c
+          withRetry(ledger.fileCount(session))
+          observerReads.incrementAndGet()
+        } catch { case t: Throwable => observerError.set(t) }
+      }, "soak-ledger-observer")
+      t.start()
+      t
+    }
+
     // deterministic corpus: a duplicate in batch i repeats a uniformly-
     // spread earlier unique VERBATIM. The xorshift-ish mix keeps the dup
     // choice deterministic without java.util.Random state threading.
@@ -187,6 +237,13 @@ object StreamingSoak {
         (if (compacted) "  [compacted]" else ""))
     }
     query.stop()
+    observer.foreach { t =>
+      stopObserver.set(true)
+      t.join(30000)
+      require(observerError.get() == null,
+        s"observer failed mid-compaction: ${observerError.get()}")
+      require(observerReads.get() > 0, "observer never completed a read")
+    }
 
     // correctness: exactly one output row per distinct document ever
     // emitted — intra-batch and cross-batch duplicates (exact copies, so
@@ -211,7 +268,9 @@ object StreamingSoak {
       "max_ledger_files" -> files.max.toString,
       "decile_median_ms" -> dec.map(d => f"$d%.1f").mkString("[", ",", "]"),
       "last_over_first_decile" -> f"$flatness%.3f",
-      "total_s" -> f"${wallMs.sum / 1000}%.1f"
+      "total_s" -> f"${wallMs.sum / 1000}%.1f",
+      "observer_reads" -> (if (observe) observerReads.get.toString else "null"),
+      "observer_retries" -> (if (observe) observerRetries.get.toString else "null")
     ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
   }
 
