@@ -180,6 +180,17 @@ object StreamingEvents {
    * their sentinel signatures never enter the ledger, and their identity
    * dedup belongs to [[exactDedupSink]].
    *
+   * `retention` (optional) bounds the near-dup window exactly as
+   * [[exactDedupSink]]'s does the exact window: a SQL boolean over the
+   * ledger columns selecting rows that still suppress (e.g.
+   * `"seen_at > current_timestamp() - interval 30 days"`), where `seen_at`
+   * is the append time this sink stamps when retention is set. A keeper's
+   * banded rows share one timestamp per append, so its signature expires
+   * atomically: past the window its bands stop matching, the next similar
+   * document is ADMITTED and becomes the window's new keeper (its own
+   * signatures re-entering the ledger), and expired rows are physically
+   * removed at the next compaction.
+   *
    * Delivery matches [[exactDedupSink]]: at-least-once on retry, duplicates
    * bounded by one failed batch, ledger append idempotent for later batches.
    */
@@ -188,8 +199,9 @@ object StreamingEvents {
                   checkpointPath: String, n: Int = 3, bands: Int = 8,
                   rowsPerBand: Int = 4, seed: Long = 42L,
                   maxBucketSize: Option[Int] = None, ledgerBuckets: Int = 16,
-                  compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ledger = nearDupLedger(ledgerTable, ledgerBuckets, compactAfterFiles)
+                  compactAfterFiles: Int = 64,
+                  retention: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ledger = nearDupLedger(ledgerTable, ledgerBuckets, compactAfterFiles, retention)
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -200,7 +212,10 @@ object StreamingEvents {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // survivors to the output, their banded signatures to the ledger
         kept.drop("__sig").write.mode("append").parquet(outPath)
-        ledger.append(bandedSignatures(kept, bands, rowsPerBand))
+        val banded = bandedSignatures(kept, bands, rowsPerBand)
+        ledger.append(
+          if (retention.isDefined) banded.withColumn("seen_at", current_timestamp())
+          else banded)
         kept.unpersist(); b.unpersist()
         ledger.maybeCompact(s)
         ()
@@ -215,9 +230,12 @@ object StreamingEvents {
     * only elides the join shuffle when the bucket keys equal ALL join keys
     * — a subset re-shuffles the ledger, defeating the point. */
   def nearDupLedger(table: String, buckets: Int = 16,
-                    compactAfterFiles: Int = 64): BucketedLedger =
+                    compactAfterFiles: Int = 64,
+                    retention: Option[String] = None): BucketedLedger =
     BucketedLedger(table, buckets, Seq("band_idx", "band_hash"),
-      "band_idx INT, band_hash BIGINT, sig ARRAY<BIGINT>", compactAfterFiles)
+      "band_idx INT, band_hash BIGINT, sig ARRAY<BIGINT>" +
+        (if (retention.isDefined) ", seen_at TIMESTAMP" else ""),
+      compactAfterFiles, retention)
 
   /** One micro-batch of the near-dup sink (package-visible for the plan
     * spec): intra-batch near-dup collapse via the full batch operator, then

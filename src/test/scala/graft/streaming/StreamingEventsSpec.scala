@@ -283,6 +283,45 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(cols == Set("fingerprint", "seen_at"), cols.toString)
   }
 
+  test("nearDupSink with retention: expired signatures re-admit; intra-batch near-dups still collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardup-retained").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "distant river winds slowly through the quiet green valley at dawn"
+    val nearDup = base.replace("quiet", "silent") // J ≈ 0.9
+
+    // the same deterministic degenerate window as the exact retained spec:
+    // every banded signature is expired the instant it lands, so the
+    // cross-batch near-dup MUST re-admit (the un-retained spec above pins
+    // the suppressing case), while intra-batch collapse — which never
+    // consults the ledger — is unaffected
+    dropLedger("snd_retained_ledger")
+    val q = StreamingEvents.nearDupSink(docs, "doc_id", "text",
+      threshold = 0.5, outPath = s"$dir/out", ledgerTable = "snd_retained_ledger",
+      checkpointPath = s"$dir/ckpt",
+      retention = Some("seen_at > current_timestamp() + interval 1 hour"))
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), base),
+      (2L, ts("2024-01-01 10:01:00"), nearDup)) // intra-batch near-dup
+    q.processAllAvailable()
+    input.addData(
+      (4L, ts("2024-01-02 09:00:00"), nearDup)) // expired window → re-admit
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L),
+      s"keeper set wrong: $kept — the batch-2 near-dup is past the window " +
+        "and must re-admit as the new keeper; the intra-batch near-dup (2) " +
+        "must still collapse")
+    // banded rows carry the append timestamp the window selects on
+    val cols = spark.table("snd_retained_ledger").columns.toSet
+    assert(cols == Set("band_idx", "band_hash", "sig", "seen_at"), cols.toString)
+  }
+
   test("dedupStream drops watermark-window duplicates by content fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
