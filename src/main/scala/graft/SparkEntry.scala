@@ -761,6 +761,26 @@ object SparkEntry {
           element_at(col("features"), 5).cast("long").as("sum_ch1"))
     }),
 
+    // Multimodal: REAL video decode through the RIFF/AVI codec — the video
+    // leg of the real-codec family. Payloads are genuine AVI containers
+    // with uncompressed 24-bit DIB frames (lossless, unlike MJPEG), so the
+    // container header fields and cross-frame per-channel sums are
+    // analytically predictable and the DuckDB oracle recomputes them
+    // without any container code. dims=6 → frames/w/h header slots + r/g/b
+    // sums (pixels walked r,g,b in threes across every frame).
+    "mm6_real_video_features" -> ((s, dir) => {
+      val vids = Multimodal.synthesizeVideoTable(
+        T(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(vids, dims = 6, codec = "avi")
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("frames"),
+          element_at(col("features"), 2).cast("long").as("w"),
+          element_at(col("features"), 3).cast("long").as("h"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b"))
+    }),
+
     // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
     // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
     // generation can only lose pairs, never invent them, so equality both
@@ -1396,6 +1416,23 @@ object SparkEntry {
         | CASE WHEN doc_id % 2 = 1
         |   THEN (doc_id % 32 + 8) * ((doc_id * 17) % 256)
         |   ELSE 0 END AS sum_ch1
+        |FROM documents""".stripMargin,
+
+    // analytic reconstruction of the real-video decode: solid-color DIB
+    // frames are lossless, so each channel sum is w*h*Σ_f color(id,f) —
+    // no container code on the oracle side, so agreement certifies the
+    // actual RIFF parse + raster decode across every frame
+    "mm6_real_video_features" ->
+      """SELECT doc_id AS media_id,
+        | doc_id % 4 + 2 AS frames,
+        | doc_id % 3 + 2 AS w,
+        | doc_id % 2 + 2 AS h,
+        | CAST((doc_id % 3 + 2) * (doc_id % 2 + 2) * list_sum(list_transform(
+        |   range(0, doc_id % 4 + 2), f -> (doc_id * 7 + f * 31) % 256)) AS BIGINT) AS sum_r,
+        | CAST((doc_id % 3 + 2) * (doc_id % 2 + 2) * list_sum(list_transform(
+        |   range(0, doc_id % 4 + 2), f -> (doc_id * 11 + f * 37) % 256)) AS BIGINT) AS sum_g,
+        | CAST((doc_id % 3 + 2) * (doc_id % 2 + 2) * list_sum(list_transform(
+        |   range(0, doc_id % 4 + 2), f -> (doc_id * 13 + f * 41) % 256)) AS BIGINT) AS sum_b
         |FROM documents""".stripMargin,
 
     "mm2_media_features" ->

@@ -158,6 +158,43 @@ object Multimodal {
       }(encoder)
   }
 
+  /**
+   * Synthesize a media table whose payloads are REAL AVI containers with
+   * uncompressed 24-bit DIB frames — the video twin of
+   * [[synthesizeImageTable]]/[[synthesizeAudioTable]], driving [[AviCodec]]
+   * (genuine RIFF container parsing + raster decode) end-to-end through
+   * [[extractFeatures]] under a cross-engine oracle. Each id yields a clip
+   * whose geometry and per-frame solid colors are pure arithmetic on the id:
+   *
+   *   width = id % 3 + 2, height = id % 2 + 2, frames = id % 4 + 2,
+   *   frame f color = (id·7 + f·31, id·11 + f·37, id·13 + f·41) % 256
+   *
+   * DIB frames are lossless, so the decoded per-channel sums are exactly
+   * width·height·Σ_f channel(id, f) (≤ 12·255·5 — exact in float32). The
+   * MJPEG (`dc`) half of the codec is exercised by `AviCodecSpec` with a
+   * decode-tolerance check instead, JPEG being lossy.
+   */
+  def synthesizeVideoTable(ids: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(MediaSchema)
+    ids.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 3 + 2).toInt
+          val h = (id % 2 + 2).toInt
+          val n = (id % 4 + 2).toInt
+          val frames = (0 until n).map { f =>
+            val rgb = (((id * 7 + f * 31) % 256).toInt,
+              ((id * 11 + f * 37) % 256).toInt,
+              ((id * 13 + f * 41) % 256).toInt)
+            AviBuilder.dibFrame(w, h, (_, _) => rgb)
+          }
+          val bytes = AviBuilder.avi(w, h, frames.map(fr => (true, fr)))
+          Row(id, "video", bytes, Row(w, h, 3, null, n * 40L))
+        }
+      }(encoder)
+  }
+
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte], features: Array[Float])
 
