@@ -55,21 +55,41 @@ final class AviCodec extends MediaCodec {
       "payload is not a RIFF/AVI container; route non-AVI payloads to " +
         "another codec (e.g. \"imageio\" for stills, \"stub\" otherwise)")
 
-    // one linear chunk walk collects the strf dims and the movi frame
-    // chunks; LIST chunks recurse (their data starts with the list type)
+    // one linear chunk walk collects the video stream's strf dims and that
+    // stream's movi frame chunks; LIST chunks recurse (their data starts
+    // with the list type). Stream binding: `strl` lists are numbered in
+    // order of appearance (the AVI stream index); the strf is accepted
+    // only from the strl whose strh declares fccType `vids`, and frame
+    // chunks (`NNdb`/`NNdc`) only when their 2-digit prefix NN equals that
+    // stream's index — a multi-stream AVI (audio strl first, say) can no
+    // longer mix another stream's frames or dims into the features.
     var strfW = -1; var strfH = -1; var strfBits = -1; var strfCompress = -1
+    var strlCount = 0 // strl lists seen so far = next stream index
+    var videoStream = -1 // index of the strl whose strh says `vids`
     var frames = List.empty[(Int, Int, Boolean)] // (dataOff, dataLen, isDib)
 
-    def walk(off: Int, end: Int): Unit = {
+    def walk(off: Int, end: Int, strl: Int): Unit = {
       var p = off
       while (p + 8 <= end) {
         val cc = fourcc(payload, p)
         val size = le32(payload, p + 4)
         val data = p + 8
-        require(size >= 0 && data + size <= payload.length,
-          s"corrupt AVI: chunk $cc at $p claims $size bytes past the payload")
-        if (cc == "LIST") walk(data + 4, data + size)
-        else if (cc == "strf" && strfW < 0 && size >= 40) {
+        // bound against the ENCLOSING list's end, not just the payload: a
+        // chunk may not claim bytes past its parent LIST
+        require(size >= 0 && data + size <= end,
+          s"corrupt AVI: chunk $cc at $p claims $size bytes past its enclosing list (end=$end)")
+        if (cc == "LIST") {
+          require(size >= 4, s"corrupt AVI: LIST at $p too short for a list type")
+          val listType = fourcc(payload, data)
+          val childStrl =
+            if (listType == "strl") { val idx = strlCount; strlCount += 1; idx }
+            else strl // nested lists inherit their strl context
+          walk(data + 4, data + size, childStrl)
+        } else if (cc == "strh" && strl >= 0 && videoStream < 0 && size >= 4 &&
+          fourcc(payload, data) == "vids") {
+          videoStream = strl
+        } else if (cc == "strf" && strl >= 0 && strl == videoStream &&
+          strfW < 0 && size >= 40) {
           // BITMAPINFOHEADER: biWidth @+4, biHeight @+8, biBitCount @+14,
           // biCompression @+16
           strfW = le32(payload, data + 4)
@@ -78,13 +98,15 @@ final class AviCodec extends MediaCodec {
           strfCompress = le32(payload, data + 16)
         } else if (cc.length == 4 && cc.charAt(2) == 'd' &&
           (cc.charAt(3) == 'b' || cc.charAt(3) == 'c') &&
-          Character.isDigit(cc.charAt(0)) && Character.isDigit(cc.charAt(1))) {
+          Character.isDigit(cc.charAt(0)) && Character.isDigit(cc.charAt(1)) &&
+          (cc.charAt(0) - '0') * 10 + (cc.charAt(1) - '0') == videoStream) {
           frames ::= ((data, size, cc.charAt(3) == 'b'))
         }
         p = data + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, payload.length)
+    walk(12, payload.length, -1)
+    require(videoStream >= 0, "AVI has no vids stream header (strh)")
     require(strfW > 0 && strfH != 0, "AVI has no strf video header")
     val frameList = frames.reverse
     require(frameList.nonEmpty, "AVI movi list holds no video frames")

@@ -237,21 +237,28 @@ final case class BucketedLedger(table: String, buckets: Int,
     * are only reclaimed by GC — one-per-write over a long-lived stream
     * (1-2 per micro-batch) would churn SessionStates and grow the bus
     * between GCs. A ledger has a single writer, so a one-slot cache keyed
-    * on the parent session identity suffices; the key is held weakly so a
-    * retired parent session (and its clone) can be collected. */
-  @transient @volatile
-  private var cachedWriteSession: java.lang.ref.WeakReference[(SparkSession, SparkSession)] = null
-  private[streaming] def writeSession(spark: SparkSession): SparkSession = {
-    val cached = Option(cachedWriteSession).flatMap(r => Option(r.get))
-    cached match {
-      case Some((parent, clone)) if parent eq spark => clone
-      case _ =>
+    * on the parent session identity suffices. Only the PARENT is weakly
+    * referenced (WeakHashMap key); the clone is the entry's value, held
+    * strongly for exactly as long as the parent is reachable. (An earlier
+    * shape weakly referenced a (parent, clone) tuple — the tuple itself
+    * was only weakly reachable, so ANY minor GC could clear the memo
+    * while the parent was still live, silently reverting to per-write
+    * SessionState churn between GCs.) */
+  @transient
+  private lazy val cachedWriteSession =
+    new java.util.WeakHashMap[SparkSession, SparkSession](1)
+  private[streaming] def writeSession(spark: SparkSession): SparkSession =
+    cachedWriteSession.synchronized {
+      val cached = cachedWriteSession.get(spark)
+      if (cached != null) cached
+      else {
         val s = spark.newSession()
         s.conf.set("spark.sql.adaptive.enabled", "false")
-        cachedWriteSession = new java.lang.ref.WeakReference((spark, s))
+        cachedWriteSession.clear() // one-slot: a new parent retires the old clone
+        cachedWriteSession.put(spark, s)
         s
+      }
     }
-  }
 
   /** Reusing an existing catalog table with the WRONG bucket layout would
     * silently break the one-sided join (Spark re-shuffles a ledger whose

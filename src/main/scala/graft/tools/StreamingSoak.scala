@@ -183,9 +183,13 @@ object StreamingSoak {
           while (out.isEmpty) {
             try out = Some(body)
             catch {
+              // MidSwapListing is in the set because readOrEmpty rethrows
+              // it once its own 5-attempt budget is exhausted — a probe
+              // straddle during a host stall wave can outlive that budget
               case e @ (_: org.apache.spark.SparkException |
                         _: org.apache.spark.sql.AnalysisException |
-                        _: java.io.FileNotFoundException) =>
+                        _: java.io.FileNotFoundException |
+                        _: graft.streaming.BucketedLedger.MidSwapListing) =>
                 if (attempt >= 5) throw e
                 attempt += 1; observerRetries.incrementAndGet()
                 Thread.sleep(20L * attempt)
@@ -195,7 +199,18 @@ object StreamingSoak {
         }
         var lastCount = 0L
         try while (!stopObserver.get()) {
-          val c = withRetry(ledger.readOrEmpty(session).count())
+          // a 0 count after a nonzero one is NOT a torn read: when a
+          // probe-straddle exhausts readOrEmpty's internal retry budget it
+          // returns the empty fallback frame (count 0) — a transient, so
+          // it re-enters the retry loop instead of failing the soak. A
+          // genuine shrink (0 < c < lastCount) still fails immediately.
+          val c = withRetry {
+            val n = ledger.readOrEmpty(session).count()
+            if (n == 0 && lastCount > 0)
+              throw new graft.streaming.BucketedLedger.MidSwapListing(
+                s"empty fallback frame after $lastCount rows (probe straddle)")
+            n
+          }
           require(c >= lastCount, s"torn read: ledger shrank $lastCount -> $c")
           lastCount = c
           withRetry(ledger.fileCount(session))

@@ -70,6 +70,71 @@ class AviCodecSpec extends SparkSpecBase {
     assert(got.sameElements(want), s"got ${got.toSeq} want ${want.toSeq}")
   }
 
+  test("multi-stream AVI: frames and dims bind to the vids stream, not stream 00") {
+    // audio strl FIRST (stream 00, fccType auds, with a >=40-byte strf
+    // decoy), video strl second (stream 01): the codec must take its dims
+    // from the VIDEO strf and collect only 01db frames, ignoring the 00wb
+    // audio chunks interleaved in movi. The pre-r14 walk took the first
+    // >=40-byte strf and any NNdb/NNdc chunk — this fixture catches both.
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(fourcc: String, data: Array[Byte]) =
+      cc(fourcc) ++ le32(data.length) ++ data ++
+        (if ((data.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(t: String, bodies: Array[Byte]*) = {
+      val inner = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
+      cc("LIST") ++ le32(4 + inner.length) ++ cc(t) ++ inner
+    }
+    val (w, h) = (4, 3)
+    val audStrh = cc("auds") ++ cc("PCM ") ++ Array.fill[Byte](48)(0)
+    // decoy strf: 40 bytes of WAVEFORMAT-ish junk whose "biWidth" slot
+    // (at +4) is a wrong nonzero value the old walk would have taken
+    val audStrf = le32(18) ++ le32(99) ++ le32(77) ++ le16(1) ++ le16(8) ++
+      Array.fill[Byte](40 - 16)(1)
+    val vidStrh = cc("vids") ++ cc("DIB ") ++ Array.fill[Byte](48)(0)
+    val vidStrf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(((w * 3 + 3) / 4) * 4 * h) ++ Array.fill[Byte](16)(0)
+    val dib = AviBuilder.dibFrame(w, h, rgbAt)
+    val hdrl = list("hdrl",
+      chunk("avih", Array.fill[Byte](56)(0)),
+      list("strl", chunk("strh", audStrh), chunk("strf", audStrf)),
+      list("strl", chunk("strh", vidStrh), chunk("strf", vidStrf)))
+    val movi = list("movi",
+      chunk("00wb", Array.fill[Byte](64)(7)), // audio data, must be ignored
+      chunk("01db", dib),
+      chunk("00wb", Array.fill[Byte](64)(9)))
+    val body = hdrl ++ movi
+    val payload = cc("RIFF") ++ le32(4 + body.length) ++ cc("AVI ") ++ body
+    val got = MediaCodecs("avi").features(payload, 6)
+    val want = expectedSums(w, h, 1, 6, (_, x, y) => rgbAt(x, y))
+    assert(got.sameElements(want), s"got ${got.toSeq} want ${want.toSeq}")
+  }
+
+  test("chunk claiming bytes past its enclosing LIST fails loudly") {
+    // a malformed inner chunk whose size runs past its parent list's end
+    // (but not past the payload) must be rejected, not silently read
+    val good = AviBuilder.avi(3, 2, Seq((true, AviBuilder.dibFrame(3, 2, rgbAt))))
+    // find the movi LIST and corrupt its first frame chunk's size to reach
+    // past the list end into the trailing bytes we append
+    val payload = good ++ Array.fill[Byte](64)(0)
+    def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    // locate "00db" and inflate its size by 64 (past movi's end, inside payload)
+    val idx = payload.sliding(4).indexWhere(_.sameElements("00db".getBytes("US-ASCII")))
+    assert(idx > 0)
+    val sz = le32(payload, idx + 4)
+    val inflated = sz + 64
+    payload(idx + 4) = (inflated & 0xff).toByte
+    payload(idx + 5) = ((inflated >> 8) & 0xff).toByte
+    payload(idx + 6) = ((inflated >> 16) & 0xff).toByte
+    payload(idx + 7) = ((inflated >> 24) & 0xff).toByte
+    val e = intercept[IllegalArgumentException](MediaCodecs("avi").features(payload, 6))
+    assert(e.getMessage.contains("enclosing list"))
+  }
+
   test("MJPEG frames: header slots exact, channel sums within JPEG tolerance of the set colors") {
     val (w, h, n) = (16, 16, 2)
     // solid-color frames: JPEG's DC-only quantization keeps solid blocks
@@ -86,11 +151,11 @@ class AviCodecSpec extends SparkSpecBase {
     val got = MediaCodecs("avi").features(AviBuilder.avi(w, h, frames), 6)
     assert(got(0) === n.toFloat && got(1) === w.toFloat && got(2) === h.toFloat, got.toSeq)
     val px = (w * h).toFloat
-    val wantR = colors.map(_._1).sum * px / n * n // Σ_f r_f · px
+    val wantR = colors.map(_._1).sum * px // Σ_f r_f · px
     val wantG = colors.map(_._2).sum * px
     val wantB = colors.map(_._3).sum * px
     // ±4 per sample bounds JPEG round-trip error on solid blocks
-    assert(math.abs(got(3) - colors.map(_._1).sum * px) <= 4 * px * n, s"r: ${got.toSeq} want ~$wantR")
+    assert(math.abs(got(3) - wantR) <= 4 * px * n, s"r: ${got.toSeq} want ~$wantR")
     assert(math.abs(got(4) - wantG) <= 4 * px * n, s"g: ${got.toSeq}")
     assert(math.abs(got(5) - wantB) <= 4 * px * n, s"b: ${got.toSeq}")
   }

@@ -276,6 +276,19 @@ class BucketedLedgerSpec extends SparkSpecBase {
     assert(w3.conf.get("spark.sql.adaptive.enabled") === "false")
   }
 
+  test("writeSession memo survives GC while the parent session is live") {
+    // r13 defect: the memo weakly referenced a (parent, clone) TUPLE,
+    // which nothing else referenced — any GC could clear it while the
+    // parent was strongly live, reverting to per-write SessionState
+    // churn. The fixed shape weakly keys the PARENT only.
+    val l = BucketedLedger("bl_ws_gc", buckets = 2,
+      keys = Seq("fingerprint"), schemaDdl = "fingerprint BIGINT")
+    val w1 = l.writeSession(spark)
+    System.gc(); System.runFinalization(); System.gc()
+    val w2 = l.writeSession(spark)
+    assert(w1 eq w2, "GC with a live parent must not clear the write-session memo")
+  }
+
   test("concurrent reader never corrupts live compactions and retries through the swap window") {
     // the r12 design claim, time-verified at spec scale: a read-only
     // monitor polling readOrEmpty/fileCount while the single writer runs
