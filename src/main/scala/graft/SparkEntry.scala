@@ -10,6 +10,7 @@ import graft.functions.{TextFunctions => TF, TimeTokens, VectorFunctions => VF}
 import graft.multimodal.Multimodal
 import graft.operators._
 import graft.similarity.Knn
+import graft.streaming.StreamingEvents
 
 /**
  * Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -781,6 +782,42 @@ object SparkEntry {
           element_at(col("features"), 6).cast("long").as("sum_b"))
     }),
 
+    // Multimodal: MJPEG (compressed-frame) container parse — the `##dc`
+    // half of the AVI codec under a driver oracle. JPEG is lossy, so only
+    // the exactly-predictable CONTAINER fields are projected: frame count
+    // and dims from the strh/strf chunk walk. The frames still DECODE
+    // (extractFeatures runs the full feature kernel, JPEG reader included)
+    // — a crash or misparse fails the query — but the lossy channel sums
+    // stay pinned by AviCodecSpec's quantization-tolerance test instead
+    // of the oracle.
+    "mm7_mjpeg_container_parse" -> ((s, dir) => {
+      val vids = Multimodal.synthesizeMjpegVideoTable(
+        T(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(vids, dims = 6, codec = "avi")
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("frames"),
+          element_at(col("features"), 2).cast("long").as("w"),
+          element_at(col("features"), 3).cast("long").as("h"))
+    }),
+
+    // Streaming exact-dedup sink, driver-oracled end to end: a bounded
+    // 4-micro-batch replay of the production foreachBatch sink (file
+    // stream source, maxFilesPerTrigger=1, batch = doc_id % 4) whose
+    // output is exactly SQL-expressible — the keeper for each distinct
+    // text is the first by (batch, doc_id), i.e. batch-SEQUENTIAL ledger
+    // semantics, which differ from a plain min(doc_id) whenever a text's
+    // smallest id lands in a later batch. Certifies intra-batch dedup,
+    // the cross-batch bucketed-ledger anti-join, and the output append
+    // in one oracle-checked row set.
+    "sq1_streaming_exact_dedup" -> ((s, dir) => {
+      StreamingEvents.replayExactDedup(
+        T(s, dir, "documents").select("doc_id", "text"), "text",
+        keepOrder = Seq("doc_id"), batchCol = pmod(col("doc_id"), lit(4)),
+        numBatches = 4, root = "/tmp/graft-sq1-replay",
+        ledgerTable = "sq1_replay_ledger")
+        .select(col("doc_id"), col("text"))
+    }),
+
     // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
     // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
     // generation can only lose pairs, never invent them, so equality both
@@ -1434,6 +1471,32 @@ object SparkEntry {
         | CAST((doc_id % 3 + 2) * (doc_id % 2 + 2) * list_sum(list_transform(
         |   range(0, doc_id % 4 + 2), f -> (doc_id * 13 + f * 41) % 256)) AS BIGINT) AS sum_b
         |FROM documents""".stripMargin,
+
+    // analytic reconstruction of the MJPEG container parse: frame count
+    // and dims come from the chunk walk alone (id arithmetic), no
+    // container or image code on the oracle side — certifying the ##dc
+    // (compressed-frame) half of the RIFF/AVI parse that mm6's lossless
+    // DIB corpus can't reach
+    "mm7_mjpeg_container_parse" ->
+      """SELECT doc_id AS media_id,
+        | doc_id % 3 + 1 AS frames,
+        | doc_id % 5 + 8 AS w,
+        | doc_id % 3 + 8 AS h
+        |FROM documents""".stripMargin,
+
+    // batch-sequential dedup semantics of the streaming sink replay: the
+    // kept row per distinct text is the first by (batch = doc_id % 4,
+    // then doc_id) — NOT min(doc_id): a text whose smallest id sits in a
+    // later batch keeps its earliest-batch occurrence instead, which is
+    // precisely the ledger's earliest-batch-wins behavior the oracle
+    // certifies
+    "sq1_streaming_exact_dedup" ->
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (PARTITION BY text
+        |                            ORDER BY doc_id % 4, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
 
     "mm2_media_features" ->
       """WITH b AS (

@@ -195,6 +195,44 @@ object Multimodal {
       }(encoder)
   }
 
+  /**
+   * Synthesized MJPEG video corpus — the compressed-frame twin of
+   * [[synthesizeVideoTable]]: each id yields an AVI whose `00dc` frames are
+   * genuine JDK-encoded JPEG bytes (solid-color frames, id arithmetic).
+   * JPEG is lossy, so per-channel sums are NOT analytically predictable —
+   * but the CONTAINER half of the decode (frame count and dims from the
+   * `strh`/`strf` chunk walk) is exact, which is what the mm7 oracle
+   * certifies: frames = id%3+1, w = id%5+8, h = id%3+8. Frame pixel
+   * fidelity is pinned separately by `AviCodecSpec`'s quantization-
+   * tolerance test.
+   */
+  def synthesizeMjpegVideoTable(ids: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(MediaSchema)
+    ids.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 5 + 8).toInt
+          val h = (id % 3 + 8).toInt
+          val n = (id % 3 + 1).toInt
+          val frames = (0 until n).map { f =>
+            val rgb = ((((id * 7 + f * 31) % 256).toInt << 16) |
+              (((id * 11 + f * 37) % 256).toInt << 8) |
+              ((id * 13 + f * 41) % 256).toInt)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            (false, bos.toByteArray)
+          }
+          val bytes = AviBuilder.avi(w, h, frames)
+          Row(id, "video", bytes, Row(w, h, 3, null, n * 40L))
+        }
+      }(encoder)
+  }
+
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte], features: Array[Float])
 

@@ -345,4 +345,65 @@ object StreamingEvents {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /**
+   * Bounded REPLAY of [[exactDedupSink]] for driver-oracle certification
+   * (the `sq1` query): splits `docs` into `numBatches` deterministic
+   * micro-batches by `batchCol` (each staged as ONE parquet file whose
+   * modification time is forced strictly increasing, so the file stream
+   * source with `maxFilesPerTrigger=1` replays them in batch order), runs
+   * the REAL sink — intra-batch keeper via the batch dedup operator,
+   * cross-batch suppression via the bucketed fingerprint ledger — to
+   * completion, and returns the deduped output.
+   *
+   * The result is exactly SQL-expressible, which is what makes the sink
+   * DuckDB-oracleable end to end: the kept row for each distinct text is
+   * the first by (batch index, keepOrder) — the batch-SEQUENTIAL semantics
+   * (earliest batch wins, then the intra-batch keeper rule), which differs
+   * from a plain global `min(keepOrder)` whenever a text's smallest id
+   * lands in a later batch. State is cleaned on entry, so re-runs (bench
+   * reps, repeated Verify) are idempotent. Everything stays distributed:
+   * the staging writes, the stream, and the output read shuffle no more
+   * than the production sink itself.
+   */
+  def replayExactDedup(docs: DataFrame, textCol: String, keepOrder: Seq[String],
+                       batchCol: org.apache.spark.sql.Column, numBatches: Int,
+                       root: String, ledgerTable: String,
+                       buckets: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Seq(ledgerTable, ledgerTable + "__compacting", ledgerTable + "__old").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
+
+    val in = new org.apache.hadoop.fs.Path(root, "in")
+    fs.mkdirs(in)
+    (0 until numBatches).foreach { b =>
+      val stage = s"$root/stage/b$b"
+      docs.filter(batchCol === lit(b)).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file staged for batch $b"))
+      val dst = new org.apache.hadoop.fs.Path(in, f"batch$b%03d.parquet")
+      fs.rename(part, dst)
+      // the file source triggers oldest-mtime-first; a forced 60 s spacing
+      // makes the replay order deterministic regardless of write latency
+      fs.setTimes(dst, 1000000000000L + b * 60000L, -1)
+    }
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = exactDedupSink(stream, textCol, keepOrder,
+      outPath = s"$root/out", ledgerTable = ledgerTable,
+      checkpointPath = s"$root/ckpt", ledgerBuckets = buckets)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$root/out")
+  }
 }
