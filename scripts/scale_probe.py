@@ -17,16 +17,30 @@ the state file (or pass --fresh) to re-measure everything.
 
 Usage:
   python3 scripts/scale_probe.py SF_DIR [--cpus 32] [--reps 3]
-      [--queries a,b,c] [--state FILE] [--fresh]
+      [--queries a,b,c] [--state FILE] [--fresh] [--preflight MAX_S]
 
 Defaults: the heavy seven from BENCH_NOTES.md's scale tables; state file
 /tmp/graft-scale-probe-<dirname>.json. Set SPARK_DRIVER_MEM=64g for sf100
 (see the verify skill). Exits 0 when every requested query has a clean
 median (printing the combined table), 1 when queries remain.
+
+Pre-flight window-health gate (--preflight MAX_S): the r13 knn2 campaign
+measured a 15/15 correlation between the session sentinel and sf100
+completion — ~31 s j1 sentinel -> clean completion, >= 44.6 s (or mid-run
+waves) -> deterministic ENOSPC in the candidate-dedup reduce — and burned
+13 multi-minute attempts re-proving it. With --preflight set, the probe
+times the j1 sentinel SOLO (BenchOne, best of 2) before EACH pending
+query's launch and REFUSES to start the attempt when the sentinel exceeds
+MAX_S, exiting 6 with "deferred: degraded window" (the sentinel itself
+costs ~1-2 min at sf100 vs an 8-12 min doomed attempt; re-checked per
+query because the sf100 workload degrades its own window). Suggested
+MAX_S at sf100: 35. Preflight sentinels are appended to the state file's
+"_preflight_log" for the evidence trail.
 """
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -44,6 +58,10 @@ def main():
     ap.add_argument("--queries", default=HEAVY)
     ap.add_argument("--state", default=None)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--preflight", type=float, default=None, metavar="MAX_S",
+                    help="window-health gate: time the j1 sentinel solo "
+                         "before each pending query; exit 6 (deferred: "
+                         "degraded window) when it exceeds MAX_S seconds")
     args = ap.parse_args()
 
     tag = os.path.basename(os.path.normpath(args.sf_dir))
@@ -63,7 +81,42 @@ def main():
         print(f"# resuming: {len(done)} clean, {len(pending)} pending "
               f"(state: {state_path})")
 
+    def preflight_sentinel():
+        """Best-of-2 solo j1 wall via BenchOne (the same query the wave
+        guard brackets with; best-of-2 mirrors 'session-best sentinel')."""
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir,
+                   SPARK_GRAFT_CPUS=str(args.cpus))
+        proc = subprocess.run(
+            ["sbt", "-batch",
+             "runMain graft.BenchOne j1_revenue_by_nation j1_revenue_by_nation"],
+            cwd=repo, env=env, capture_output=True, text=True)
+        times = [float(m.group(1)) for m in
+                 re.finditer(r"TIMED j1_revenue_by_nation ([0-9.]+) s",
+                             proc.stdout)]
+        return min(times) if times else None
+
     for q in pending:
+        if args.preflight is not None:
+            print(f"# preflight sentinel (gate {args.preflight:.0f}s) ...",
+                  flush=True)
+            sent = preflight_sentinel()
+            log = state.setdefault("_preflight_log", [])
+            log.append({"sentinel_s": sent, "before": q,
+                        "max_s": args.preflight,
+                        "at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())})
+            with open(state_path, "w") as f:
+                json.dump(state, f, indent=2, sort_keys=True)
+            if sent is None or sent > args.preflight:
+                txt = f"{sent:.1f}s" if sent is not None else "unmeasurable"
+                sys.stderr.write(
+                    f"deferred: degraded window (j1 sentinel {txt} > "
+                    f"{args.preflight:.0f}s gate) — NOT burning an attempt "
+                    f"on {q}; re-invoke in a healthier window\n")
+                sys.exit(6)
+            print(f"# preflight sentinel {sent:.1f}s <= "
+                  f"{args.preflight:.0f}s — window healthy, launching {q}",
+                  flush=True)
         print(f"# probing {q} solo at {args.sf_dir} ...", flush=True)
         env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=q)
         t0 = time.time()
