@@ -800,6 +800,25 @@ object SparkEntry {
           element_at(col("features"), 3).cast("long").as("h"))
     }),
 
+    // Multimodal: COMPRESSED audio decode — a hand-written IMA ADPCM
+    // (format 0x11) state-machine decoder behind the SPI, not a JDK
+    // passthrough (javax.sound ships no IMA decoder). The synthesized
+    // corpus keeps the decode in its linear region, so frames AND the
+    // decoded 16-bit sample sum are exact id arithmetic the oracle
+    // reconstructs with no audio code: any bug in the vpdiff assembly,
+    // sign handling, index walk, nibble order, or block-header parse
+    // lands off the analytic line.
+    "mm8_adpcm_audio_features" -> ((s, dir) => {
+      val auds = Multimodal.synthesizeAdpcmAudioTable(
+        T(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(auds, dims = 4, codec = "adpcm")
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("channels"),
+          element_at(col("features"), 2).cast("long").as("sample_rate"),
+          element_at(col("features"), 3).cast("long").as("frames"),
+          element_at(col("features"), 4).cast("long").as("sum_samples"))
+    }),
+
     // Streaming exact-dedup sink, driver-oracled end to end: a bounded
     // 4-micro-batch replay of the production foreachBatch sink (file
     // stream source, maxFilesPerTrigger=1, batch = doc_id % 4) whose
@@ -1482,6 +1501,19 @@ object SparkEntry {
         | doc_id % 3 + 1 AS frames,
         | doc_id % 5 + 8 AS w,
         | doc_id % 3 + 8 AS h
+        |FROM documents""".stripMargin,
+
+    // analytic reconstruction of the IMA ADPCM decode: the fixed nibble
+    // pattern's cumulative offsets sum to 28163 per 33-sample block and
+    // the id-derived predictor stays in the clamp-free linear region, so
+    // the decoded sample sum is blocks*(33*predictor + 28163) — no audio
+    // code on the oracle side, certifying the hand-written state machine
+    "mm8_adpcm_audio_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | (doc_id % 3 + 1) * 33 AS frames,
+        | (doc_id % 3 + 1) * (33 * (doc_id % 200 + 10) + 28163) AS sum_samples
         |FROM documents""".stripMargin,
 
     // batch-sequential dedup semantics of the streaming sink replay: the

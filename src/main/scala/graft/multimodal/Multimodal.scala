@@ -233,6 +233,37 @@ object Multimodal {
       }(encoder)
   }
 
+  /**
+   * Synthesized IMA ADPCM audio corpus — the COMPRESSED-format leg of the
+   * audio family (mm5's WAV corpus is uncompressed PCM): each id yields a
+   * genuine mono IMA ADPCM WAVE (format tag 0x11, fmt extension, fact
+   * chunk, 20-byte blocks) whose blocks carry [[AdpcmCodec.FixedPattern]]
+   * nibbles under an id-derived initial predictor. Because `vpdiff` never
+   * depends on the predictor until the int16 clamp (which the bounded
+   * pattern and the [10, 209] predictor range keep unreachable), every
+   * decoded block is exactly `predictor + D_k` for the fixed offset
+   * sequence — so frames AND the decoded sample sum are pure id
+   * arithmetic: blocks = id%3+1, predictor = id%200+10, sum = blocks *
+   * (33*predictor + [[AdpcmCodec.FixedPatternOffsetSum]]). The mm8 oracle
+   * reconstructs that in SQL with no audio code; a decoder bug anywhere in
+   * the state machine (vpdiff assembly, sign, index walk, nibble order,
+   * block header) lands off the analytic line and fails the oracle.
+   */
+  def synthesizeAdpcmAudioTable(ids: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(MediaSchema)
+    ids.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pred = (id % 200 + 10).toInt
+          val nBlocks = (id % 3 + 1).toInt
+          val bytes = AdpcmCodec.buildWav(8000, Seq.fill(nBlocks)(pred))
+          val frames = nBlocks * AdpcmCodec.CorpusSamplesPerBlock
+          Row(id, "audio", bytes, Row(null, null, 1, 8000, frames * 1000L / 8000))
+        }
+      }(encoder)
+  }
+
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte], features: Array[Float])
 

@@ -41,6 +41,19 @@ import graft.streaming.StreamingEvents
  *    not eyeballed. The tool validates its own timing margins (phases B+C
  *    must fit inside the window) and aborts as INVALID — distinct from
  *    FAILED — when the host is too slow for the configured window.
+ *  - `neardup_retention`: the bounded-window soak for the NEAR-dup sink,
+ *    with SIMILAR (one token of 40 changed, Jaccard ≈ 0.86 ≥ threshold
+ *    0.7) successors instead of verbatim copies — certifying that
+ *    banded-signature expiry governs SIMILARITY suppression, not just
+ *    identity. Four phases: A emits the corpus (all admit); A2 emits
+ *    similar variants inside the window (dropped via the banded ledger —
+ *    statistical bound ≥ 90%, the LSH band/estimate miss rate is ~0.8%);
+ *    sleep past the window; B emits a second similar variant (EVERY
+ *    expired keeper's similar successor must admit, exactly — suppression
+ *    after expiry is impossible, so this count is deterministic); C
+ *    re-emits B's texts (just-stamped keepers → all drop, estimate 1.0).
+ *    Use a window that fits two phases of near-dup batches (~4-5 s each):
+ *    SPARK_GRAFT_SOAK_WINDOW_S=240 at the defaults.
  *
  * Broadcast joins are disabled for the session in every mode, so the
  * ledger side exercises the bucketed one-sided plan from batch 1 — the
@@ -54,7 +67,7 @@ import graft.streaming.StreamingEvents
  * being re-shuffled per batch. The file count must sawtooth under
  * `compactAfterFiles + buckets` and never trend.
  *
- * Env knobs: SPARK_GRAFT_SOAK_MODE (exact|neardup|retention),
+ * Env knobs: SPARK_GRAFT_SOAK_MODE (exact|neardup|retention|neardup_retention),
  * SPARK_GRAFT_SOAK_BATCHES (default 100), SPARK_GRAFT_SOAK_DOCS (per
  * batch, default 2000), SPARK_GRAFT_SOAK_DUP_RATE (default 0.3),
  * SPARK_GRAFT_SOAK_WINDOW_S (retention window seconds, default 60),
@@ -134,6 +147,9 @@ object StreamingSoak {
       case "retention" =>
         runRetention(spark, root, ledgerTable, buckets, compactAfterFiles,
           batches, docsPerBatch, windowS)
+      case "neardup_retention" =>
+        runNearDupRetention(spark, root, ledgerTable, buckets,
+          compactAfterFiles, batches, docsPerBatch, windowS)
       case other => sys.error(s"unknown SPARK_GRAFT_SOAK_MODE: $other")
     }
     spark.stop()
@@ -286,6 +302,128 @@ object StreamingSoak {
       "total_s" -> f"${wallMs.sum / 1000}%.1f",
       "observer_reads" -> (if (observe) observerReads.get.toString else "null"),
       "observer_retries" -> (if (observe) observerRetries.get.toString else "null")
+    ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+  }
+
+  /** 40-token body for the near-dup retention phases: long enough that a
+    * one-token change keeps Jaccard ≈ 0.86 (39 shingles at n=3, 3 affected
+    * by the last-token swap → 36/42), comfortably above the 0.7 threshold
+    * with the k=32 estimate's σ ≈ 0.06. Distinct uniques still share ~0
+    * shingles (hash-mixed 50k vocabulary). */
+  private def bodyLong(u: Long): String =
+    (0 until 40).map { j =>
+      val mix = (u * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L)
+      "w" + java.lang.Long.toUnsignedString((mix ^ (mix >>> 31)) % 50000)
+    }.mkString("doc ", " ", "")
+
+  /** SIMILAR (not identical) successor of unique `u`: [[bodyLong]] with
+    * only the LAST token swapped for a salt-derived one — deterministic,
+    * distinct per salt, Jaccard vs the original ≈ 0.86. */
+  private def variant(u: Long, salt: Int): String = {
+    val toks = bodyLong(u).split(" ")
+    toks(toks.length - 1) =
+      s"v${salt}x${java.lang.Long.toUnsignedString((u * 0x2545f4914f6cdd1dL + salt) >>> 40)}"
+    toks.mkString(" ")
+  }
+
+  /** neardup_retention: four-phase bounded-window near-dup soak with
+    * similar (one-token-changed) successors (see object scaladoc). */
+  private def runNearDupRetention(spark: SparkSession, root: String,
+                                  ledgerTable: String, buckets: Int,
+                                  compactAfterFiles: Int, batches: Int,
+                                  docsPerBatch: Int, windowS: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val phaseBatches = math.max(2, batches / 10)
+    val corpus = phaseBatches.toLong * docsPerBatch
+
+    val stream = MemoryStream[Doc]
+    val query = StreamingEvents.nearDupSink(stream.toDF(), "doc_id", "text",
+      threshold = 0.7, outPath = s"$root/out",
+      ledgerTable = ledgerTable, checkpointPath = s"$root/ckpt",
+      ledgerBuckets = buckets, compactAfterFiles = compactAfterFiles,
+      retention = Some(s"seen_at > current_timestamp() - interval $windowS seconds"))
+
+    def emit(phase: String, idBase: Long, text: Long => String): Double = {
+      val t0 = System.nanoTime()
+      (0 until phaseBatches).foreach { i =>
+        val docs = (0 until docsPerBatch).map { j =>
+          val u = i.toLong * docsPerBatch + j
+          Doc(idBase + u, text(u))
+        }
+        val b0 = System.nanoTime()
+        stream.addData(docs)
+        query.processAllAvailable()
+        System.err.println(
+          f"# $phase batch $i%3d  ${(System.nanoTime() - b0) / 1e6}%8.1f ms")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def outCount(): Long = spark.read.parquet(s"$root/out").count()
+
+    // phase A: the corpus, all unique → all admitted
+    val aS = emit("A", 0L, bodyLong)
+    val afterA = outCount()
+    require(afterA == corpus,
+      s"phase A broken: $afterA rows admitted, expected the full corpus $corpus")
+
+    // phase A2, inside the window: SIMILAR successors must be suppressed
+    // by the banded ledger. LSH is probabilistic here (band miss + estimate
+    // noise ≈ 0.8% at J≈0.86), so the bound is statistical: ≥ 90% dropped —
+    // a broken similarity path admits ~100%.
+    val a2S = emit("A2", 10_000_000L, u => variant(u, 1))
+    require(aS + a2S < windowS * 0.9,
+      f"INVALID RUN (not a dedup failure): phases A+A2 took ${aS + a2S}%.1f s, " +
+        f"too close to the $windowS s window — raise SPARK_GRAFT_SOAK_WINDOW_S")
+    val afterA2 = outCount()
+    val admittedA2 = afterA2 - corpus
+    require(admittedA2 <= corpus / 10,
+      s"within-window SIMILAR suppression broken: $admittedA2 of $corpus " +
+        "one-token-changed successors admitted while their keepers' " +
+        "signatures were still in the window")
+
+    System.err.println(f"# phases A/A2 done ($aS%.1f/$a2S%.1f s, " +
+      f"$admittedA2 LSH misses); sleeping past the $windowS s window")
+    Thread.sleep((windowS + 15) * 1000L)
+
+    // phase B: a SECOND similar variant after every signature expired —
+    // admission is deterministic (nothing in-window can suppress), and the
+    // count certifies banded-signature expiry ⇒ similar successor admitted
+    val bT0 = System.nanoTime()
+    val bS = emit("B", 20_000_000L, u => variant(u, 2))
+    val afterB = outCount()
+    require(afterB == afterA2 + corpus,
+      s"expiry re-admission broken: ${afterB - afterA2} similar successors " +
+        s"admitted after expiry, expected ALL $corpus (expired banded " +
+        "signatures must not suppress)")
+
+    // phase C: B's texts verbatim against the just-stamped B keepers —
+    // estimate exactly 1.0 ≥ threshold, all drop
+    val cS = emit("C", 30_000_000L, u => variant(u, 2))
+    val bcS = (System.nanoTime() - bT0) / 1e9
+    query.stop()
+    require(bcS < windowS * 0.9,
+      f"INVALID RUN (not a dedup failure): phases B+C took $bcS%.1f s, " +
+        f"too close to the $windowS s window — raise SPARK_GRAFT_SOAK_WINDOW_S")
+    val finalCount = outCount()
+    require(finalCount == afterB,
+      s"re-stamped drop broken: ${finalCount - afterB} verbatim copies of " +
+        "phase-B keepers admitted against in-window signatures")
+
+    println(Map(
+      "metric" -> "\"streaming_soak\"",
+      "mode" -> "\"neardup_retention\"",
+      "phase_batches" -> phaseBatches.toString,
+      "docs_per_batch" -> docsPerBatch.toString,
+      "corpus" -> corpus.toString,
+      "window_s" -> windowS.toString,
+      "phase_a_s" -> f"$aS%.1f",
+      "phase_a2_s" -> f"$a2S%.1f",
+      "phase_b_s" -> f"$bS%.1f",
+      "phase_c_s" -> f"$cS%.1f",
+      "similar_dropped_in_window" -> (corpus - admittedA2).toString,
+      "lsh_misses_in_window" -> admittedA2.toString,
+      "readmitted_after_expiry" -> corpus.toString
     ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
   }
 
