@@ -821,16 +821,27 @@ object SparkEntry {
 
     // Streaming exact-dedup sink, driver-oracled end to end: a bounded
     // 4-micro-batch replay of the production foreachBatch sink (file
-    // stream source, maxFilesPerTrigger=1, batch = doc_id % 4) whose
-    // output is exactly SQL-expressible — the keeper for each distinct
-    // text is the first by (batch, doc_id), i.e. batch-SEQUENTIAL ledger
-    // semantics, which differ from a plain min(doc_id) whenever a text's
-    // smallest id lands in a later batch. Certifies intra-batch dedup,
-    // the cross-batch bucketed-ledger anti-join, and the output append
-    // in one oracle-checked row set.
+    // stream source, maxFilesPerTrigger=1, batch = doc_id % 4). The
+    // documents table carries no duplicate texts, so the replay corpus
+    // derives deterministic echoes BOTH engines can build in SQL:
+    //  - +1000001 (≡1 mod 4) for ids ≡3 mod 7 — cross-batch duplicates in
+    //    BOTH directions (an id ≡3 mod 4 echoes into an EARLIER batch, so
+    //    the batch-sequential keeper is the echo, NOT the global min id —
+    //    the case that discriminates ledger semantics from min());
+    //  - +4000000 (≡0 mod 4) for ids ≡5 mod 11 — same-batch duplicates,
+    //    exercising the intra-batch keeper rule (min doc_id).
+    // The keeper per text is the first by (batch, doc_id), exactly
+    // SQL-expressible; certifies intra-batch dedup, the cross-batch
+    // bucketed-ledger anti-join, and the output append in one row set.
     "sq1_streaming_exact_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
       StreamingEvents.replayExactDedup(
-        T(s, dir, "documents").select("doc_id", "text"), "text",
+        corpus, "text",
         keepOrder = Seq("doc_id"), batchCol = pmod(col("doc_id"), lit(4)),
         numBatches = 4, root = "/tmp/graft-sq1-replay",
         ledgerTable = "sq1_replay_ledger")
@@ -1516,18 +1527,24 @@ object SparkEntry {
         | (doc_id % 3 + 1) * (33 * (doc_id % 200 + 10) + 28163) AS sum_samples
         |FROM documents""".stripMargin,
 
-    // batch-sequential dedup semantics of the streaming sink replay: the
-    // kept row per distinct text is the first by (batch = doc_id % 4,
-    // then doc_id) — NOT min(doc_id): a text whose smallest id sits in a
-    // later batch keeps its earliest-batch occurrence instead, which is
-    // precisely the ledger's earliest-batch-wins behavior the oracle
-    // certifies
+    // batch-sequential dedup semantics of the streaming sink replay over
+    // the same derived echo corpus: the kept row per distinct text is the
+    // first by (batch = doc_id % 4, then doc_id) — NOT min(doc_id): the
+    // +1000001 echo of an id ≡3 mod 4 lands in batch 0, so the ledger
+    // keeps the ECHO and the original is dropped three batches later,
+    // which a global min(doc_id) gets wrong — the discriminating case
     "sq1_streaming_exact_dedup" ->
-      """SELECT doc_id, text FROM (
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 11 = 5)
+        |SELECT doc_id, text FROM (
         |  SELECT doc_id, text,
         |         row_number() OVER (PARTITION BY text
         |                            ORDER BY doc_id % 4, doc_id) AS rn
-        |  FROM documents)
+        |  FROM corpus)
         |WHERE rn = 1""".stripMargin,
 
     "mm2_media_features" ->
