@@ -848,6 +848,29 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    // Streaming NEAR-dup sink, driver-oracled end to end — the sq1 pattern
+    // over the LSH sink. The corpus texts are GENERATED with arithmetic
+    // both engines express in SQL (12 hash-spread tokens per doc: distinct
+    // docs share no 3-shingles, so no accidental near-dups), duplicates
+    // are verbatim echoes (identical signatures, estimate exactly 1.0 ≥
+    // threshold — every LSH decision deterministic), and the keeper set is
+    // the same batch-sequential rule as sq1: first by (batch, doc_id).
+    // Execution runs the REAL machinery — signatures, band explode,
+    // intra-batch connected components, banded bucketed-ledger join.
+    "sq2_streaming_neardup" -> ((s, dir) => {
+      val gen = T(s, dir, "documents").select("doc_id")
+        .selectExpr("doc_id", s"'doc ' || ${sq2Tokens("STRING")} AS text")
+      val corpus = gen
+        .unionAll(gen.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+        .unionAll(gen.filter(pmod(col("doc_id"), lit(11)) === 5)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      StreamingEvents.replayNearDup(corpus, "doc_id", "text", threshold = 0.7,
+        batchCol = pmod(col("doc_id"), lit(4)), numBatches = 4,
+        root = "/tmp/graft-sq2-replay", ledgerTable = "sq2_replay_ledger")
+        .select(col("doc_id"), col("text"))
+    }),
+
     // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
     // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
     // generation can only lose pairs, never invent them, so equality both
@@ -889,6 +912,18 @@ object SparkEntry {
   // ---------------------------------------------------------------- oracles
 
   private val StopList = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are','was','from')"
+
+  /** sq2's engine-agnostic corpus: 12 hash-spread tokens per doc_id —
+    * the multiplier is coprime to the 50000-token vocabulary and doc_ids
+    * stay far below it, so two distinct docs never share a same-position
+    * token (let alone a 3-shingle): uniques are mutually dissimilar by
+    * construction, and the only near-dups are the verbatim echoes. The
+    * SAME arithmetic renders in Spark SQL (castType STRING) and DuckDB
+    * (VARCHAR), so both engines build bit-identical texts. */
+  private def sq2Tokens(castType: String): String =
+    (0 until 12).map(k =>
+      s"'w' || CAST((doc_id*9973 + $k*131) % 50000 AS $castType)")
+      .mkString(" || ' ' || ")
 
   private def langScoreSql(markers: Seq[String]): String =
     s"len(list_filter(toks, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
@@ -1540,6 +1575,28 @@ object SparkEntry {
         |  SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 7 = 3
         |  UNION ALL
         |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 11 = 5)
+        |SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (PARTITION BY text
+        |                            ORDER BY doc_id % 4, doc_id) AS rn
+        |  FROM corpus)
+        |WHERE rn = 1""".stripMargin,
+
+    // the near-dup replay's keeper set over the SAME generated corpus:
+    // duplicates are verbatim (LSH decisions deterministic), so the
+    // batch-sequential rule is exactly SQL-expressible — the +1000001
+    // echo of an id ≡3 mod 4 lands in batch 0 and becomes the keeper,
+    // discriminating banded-ledger semantics from a global min(doc_id)
+    "sq2_streaming_neardup" ->
+      s"""WITH gen AS (
+        |  SELECT doc_id, 'doc ' || ${sq2Tokens("VARCHAR")} AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM gen
+        |  UNION ALL
+        |  SELECT doc_id + 1000001, text FROM gen WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM gen WHERE doc_id % 11 = 5)
         |SELECT doc_id, text FROM (
         |  SELECT doc_id, text,
         |         row_number() OVER (PARTITION BY text

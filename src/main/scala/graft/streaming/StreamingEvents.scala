@@ -369,7 +369,44 @@ object StreamingEvents {
   def replayExactDedup(docs: DataFrame, textCol: String, keepOrder: Seq[String],
                        batchCol: org.apache.spark.sql.Column, numBatches: Int,
                        root: String, ledgerTable: String,
-                       buckets: Int = 8): DataFrame = {
+                       buckets: Int = 8): DataFrame =
+    replay(docs, batchCol, numBatches, root, ledgerTable) { stream =>
+      exactDedupSink(stream, textCol, keepOrder,
+        outPath = s"$root/out", ledgerTable = ledgerTable,
+        checkpointPath = s"$root/ckpt", ledgerBuckets = buckets)
+    }
+
+  /**
+   * [[replayExactDedup]]'s NEAR-dup twin (the `sq2` query): the same
+   * staged-file batch replay driving [[nearDupSink]]. With a corpus whose
+   * duplicates are VERBATIM copies and whose uniques are mutually
+   * dissimilar, every LSH decision is deterministic (identical signatures
+   * estimate exactly 1.0; dissimilar pairs cannot reach any threshold),
+   * so the output is the same SQL-expressible batch-sequential keeper set
+   * as the exact replay — first by (batch, intra-batch component min id)
+   * — while the execution exercises the full near-dup machinery:
+   * signatures, band explode, intra-batch connected components, and the
+   * banded bucketed-ledger cross-batch join.
+   */
+  def replayNearDup(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double,
+                    batchCol: org.apache.spark.sql.Column, numBatches: Int,
+                    root: String, ledgerTable: String,
+                    buckets: Int = 8): DataFrame =
+    replay(docs, batchCol, numBatches, root, ledgerTable) { stream =>
+      nearDupSink(stream, idCol, textCol, threshold,
+        outPath = s"$root/out", ledgerTable = ledgerTable,
+        checkpointPath = s"$root/ckpt", ledgerBuckets = buckets)
+    }
+
+  /** Shared replay plumbing: clean state, stage one parquet file per
+    * micro-batch with forced strictly-increasing mtimes (the file source
+    * triggers oldest-first, so `maxFilesPerTrigger=1` replays them in
+    * batch order), run the sink to completion, return the output. */
+  private def replay(docs: DataFrame,
+                     batchCol: org.apache.spark.sql.Column, numBatches: Int,
+                     root: String, ledgerTable: String)(
+      startSink: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     val spark = docs.sparkSession
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -391,16 +428,14 @@ object StreamingEvents {
         .getOrElse(sys.error(s"no part file staged for batch $b"))
       val dst = new org.apache.hadoop.fs.Path(in, f"batch$b%03d.parquet")
       fs.rename(part, dst)
-      // the file source triggers oldest-mtime-first; a forced 60 s spacing
-      // makes the replay order deterministic regardless of write latency
+      // 60 s forced spacing makes the replay order deterministic
+      // regardless of write latency
       fs.setTimes(dst, 1000000000000L + b * 60000L, -1)
     }
 
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in.toString)
-    val q = exactDedupSink(stream, textCol, keepOrder,
-      outPath = s"$root/out", ledgerTable = ledgerTable,
-      checkpointPath = s"$root/ckpt", ledgerBuckets = buckets)
+    val q = startSink(stream)
     try {
       q.processAllAvailable()
     } finally q.stop()
