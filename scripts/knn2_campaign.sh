@@ -30,7 +30,7 @@ for i in $(seq 1 "$CYCLES"); do
   echo "=== cycle $i -> run $run ($(date -u +%H:%M:%S)) ==="
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_JAVA_OPTS="-Dspark.io.compression.codec=zstd" \
     python3 scripts/scale_probe.py /tmp/graft-sf100 --cpus 32 --reps 1 \
-    --queries knn2_lsh_top3 --state "$state" --preflight 35
+    --queries knn2_lsh_top3 --state "$state" --preflight "${GATE:-35}"
   rc=$?
   if [ $rc -eq 0 ]; then
     count=$((count+1))
