@@ -136,6 +136,9 @@ def main():
         med = d["queries"].get(q)
         if med is None or med < 0:
             sys.stderr.write(f"# {q}: query failed in bench — not recorded\n")
+            fail = [l for l in proc.stderr.splitlines() if "QUERY FAILED" in l]
+            for l in fail[-2:]:
+                sys.stderr.write(f"#   {l}\n")
             continue
         state[q] = {
             "median_s": med,
