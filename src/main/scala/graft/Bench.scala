@@ -9,8 +9,13 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         // backstop for the between-query System.gc() below: reclaim
-        // dropped shuffle files at most 2 min stale even mid-query
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        // dropped shuffle files at most this stale even mid-query.
+        // Env-tunable because the sf100 ENOSPC boundary (BENCH_NOTES
+        // r13/r14) is a race between ContextCleaner's async reclaim and
+        // the active stage's writes — a 30s interval buys reclaim
+        // headroom in degraded windows at negligible driver cost.
+        .config("spark.cleaner.periodicGC.interval",
+          sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
