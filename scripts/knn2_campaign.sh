@@ -29,6 +29,7 @@ for i in $(seq 1 "$CYCLES"); do
   state="/tmp/graft-knn2-r14-run${run}.json"
   echo "=== cycle $i -> run $run ($(date -u +%H:%M:%S)) ==="
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_JAVA_OPTS="-Dspark.io.compression.codec=zstd" \
+    SPARK_GRAFT_PERIODIC_GC="${PERIODIC_GC:-30s}" \
     python3 scripts/scale_probe.py /tmp/graft-sf100 --cpus 32 --reps 1 \
     --queries knn2_lsh_top3 --state "$state" --preflight "${GATE:-35}"
   rc=$?

@@ -819,6 +819,27 @@ object SparkEntry {
           element_at(col("features"), 4).cast("long").as("sum_samples"))
     }),
 
+    // Multimodal: G.711 µ-law/A-law decode — the telephony companding
+    // formats, hand-expanded (Sun g711.c tables) rather than delegated.
+    // One corpus exercises BOTH laws (A-law for ids ≡0 mod 3) and both
+    // channel layouts; codes are constant per channel, so each decoded
+    // per-channel sum is frames · g711(code) and the expansion is integer
+    // shift/mask arithmetic the oracle writes directly in SQL — a bug in
+    // either table's complement/bias/segment/sign logic lands off the
+    // analytic line. The JDK's own ULAW/ALAW converter pins all 512 table
+    // entries out-of-band in G711CodecSpec.
+    "mm9_g711_audio_features" -> ((s, dir) => {
+      val auds = Multimodal.synthesizeG711AudioTable(
+        T(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractFeatures(auds, dims = 5, codec = "g711")
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("channels"),
+          element_at(col("features"), 2).cast("long").as("sample_rate"),
+          element_at(col("features"), 3).cast("long").as("frames"),
+          element_at(col("features"), 4).cast("long").as("sum_ch0"),
+          element_at(col("features"), 5).cast("long").as("sum_ch1"))
+    }),
+
     // Streaming exact-dedup sink, driver-oracled end to end: a bounded
     // 4-micro-batch replay of the production foreachBatch sink (file
     // stream source, maxFilesPerTrigger=1, batch = doc_id % 4). The
@@ -868,6 +889,48 @@ object SparkEntry {
       StreamingEvents.replayNearDup(corpus, "doc_id", "text", threshold = 0.7,
         batchCol = pmod(col("doc_id"), lit(4)), numBatches = 4,
         root = "/tmp/graft-sq2-replay", ledgerTable = "sq2_replay_ledger")
+        .select(col("doc_id"), col("text"))
+    }),
+
+    // Streaming exact-dedup with a RETENTION window, driver-oracled — the
+    // bounded-window semantics (r13's soak asserted counts; this certifies
+    // the full keeper SET). Determinism comes from an injected logical
+    // clock: batch b runs at minute b, `seen_at` stamps from the clock,
+    // and the retention `{now}` token resolves per batch — so with a 90 s
+    // window, a ledger row suppresses at batch b iff it was KEPT at batch
+    // b-1 (gap 60 s < 90) and has expired by b+2 (120 s > 90). Echo design
+    // (batch = doc_id % 4; base texts are unique):
+    //  - +1000001 (≡1 mod 4) for ids ≡3 mod 7 — next-batch echo, inside
+    //    the window → suppressed;
+    //  - +2000002 (≡2 mod 4) for ids ≡5 mod 11 — two batches later,
+    //    expired → RE-ADMITTED (the window's defining behavior);
+    //  - +3000001/+7000002 (≡1/≡2 mod 4) BOTH for ids ≡2 mod 13 — the
+    //    {b, b+1, b+2} pattern: the b+1 echo is suppressed and therefore
+    //    NOT re-stamped, so the b+2 echo measures its gap against batch b
+    //    and re-admits — the case that discriminates "kept rows refresh
+    //    the window" (correct) from "any occurrence refreshes" (wrong).
+    // The oracle mirrors this as the recurrence kept(b) = candidates(b)
+    // whose text was not kept at b-1 — exactly SQL-expressible as a
+    // 4-level CTE chain.
+    "sq3_streaming_dedup_retention" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+          .select((col("doc_id") + 2000002L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(13)) === 2)
+          .select((col("doc_id") + 3000001L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(13)) === 2)
+          .select((col("doc_id") + 7000002L).as("doc_id"), col("text")))
+      StreamingEvents.replayExactDedup(
+        corpus, "text",
+        keepOrder = Seq("doc_id"), batchCol = pmod(col("doc_id"), lit(4)),
+        numBatches = 4, root = "/tmp/graft-sq3-replay",
+        ledgerTable = "sq3_replay_ledger",
+        retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"),
+        clock = Some(b => java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusMinutes(b))))
         .select(col("doc_id"), col("text"))
     }),
 
@@ -1562,6 +1625,44 @@ object SparkEntry {
         | (doc_id % 3 + 1) * (33 * (doc_id % 200 + 10) + 28163) AS sum_samples
         |FROM documents""".stripMargin,
 
+    // analytic G.711 expansion (Sun g711.c, both laws) in plain SQL:
+    // µ-law complements the code, rebuilds the biased mantissa and
+    // shifts by the segment; A-law toggles the even bits, with segment 0
+    // linear and higher segments doubling; A-law's SET sign bit means
+    // positive (the opposite of µ-law). Codes are constant per channel,
+    // so each per-channel sum is frames · expansion(code).
+    "mm9_g711_audio_features" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, doc_id % 2 + 1 AS channels,
+        |         doc_id % 32 + 8 AS frames, doc_id % 3 = 0 AS alaw,
+        |         CAST((doc_id * 11) % 256 AS INT) AS c0,
+        |         CAST((doc_id * 17) % 256 AS INT) AS c1
+        |  FROM documents),
+        |u AS (SELECT *, 255 - c0 AS u0, 255 - c1 AS u1,
+        |             xor(c0, 85) AS a0, xor(c1, 85) AS a1 FROM base),
+        |t AS (SELECT *,
+        |  ((u0 % 16) * 8 + 132) * (1 << ((u0 // 16) % 8)) AS ut0,
+        |  ((u1 % 16) * 8 + 132) * (1 << ((u1 // 16) % 8)) AS ut1,
+        |  (a0 // 16) % 8 AS s0, (a1 // 16) % 8 AS s1,
+        |  (a0 % 16) * 16 AS m0, (a1 % 16) * 16 AS m1 FROM u),
+        |v AS (SELECT *,
+        |  CASE WHEN alaw THEN
+        |    (CASE WHEN a0 >= 128 THEN 1 ELSE -1 END) *
+        |    (CASE WHEN s0 = 0 THEN m0 + 8 WHEN s0 = 1 THEN m0 + 264
+        |          ELSE (m0 + 264) * (1 << (s0 - 1)) END)
+        |  ELSE CASE WHEN u0 >= 128 THEN 132 - ut0 ELSE ut0 - 132 END END AS v0,
+        |  CASE WHEN alaw THEN
+        |    (CASE WHEN a1 >= 128 THEN 1 ELSE -1 END) *
+        |    (CASE WHEN s1 = 0 THEN m1 + 8 WHEN s1 = 1 THEN m1 + 264
+        |          ELSE (m1 + 264) * (1 << (s1 - 1)) END)
+        |  ELSE CASE WHEN u1 >= 128 THEN 132 - ut1 ELSE ut1 - 132 END END AS v1
+        |  FROM t)
+        |SELECT media_id, CAST(channels AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(frames AS BIGINT) AS frames,
+        |  CAST(frames * v0 AS BIGINT) AS sum_ch0,
+        |  CAST(CASE WHEN channels = 2 THEN frames * v1 ELSE 0 END AS BIGINT) AS sum_ch1
+        |FROM v""".stripMargin,
+
     // batch-sequential dedup semantics of the streaming sink replay over
     // the same derived echo corpus: the kept row per distinct text is the
     // first by (batch = doc_id % 4, then doc_id) — NOT min(doc_id): the
@@ -1581,6 +1682,37 @@ object SparkEntry {
         |                            ORDER BY doc_id % 4, doc_id) AS rn
         |  FROM corpus)
         |WHERE rn = 1""".stripMargin,
+
+    // retention-window dedup: with the replay's logical clock (batch b at
+    // minute b) and a 90 s window, a kept row suppresses ONLY the next
+    // batch — so the keeper set is the recurrence kept(b) = per-(batch,
+    // text) min-id candidates whose text was NOT kept at b-1 (suppressed
+    // occurrences don't re-stamp, so they don't extend the window). Four
+    // batches unroll to a 4-level CTE chain.
+    "sq3_streaming_dedup_retention" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000002, text FROM documents WHERE doc_id % 11 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 3000001, text FROM documents WHERE doc_id % 13 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 7000002, text FROM documents WHERE doc_id % 13 = 2),
+        |cand AS (
+        |  SELECT doc_id % 4 AS b, text, min(doc_id) AS doc_id
+        |  FROM corpus GROUP BY 1, 2),
+        |k0 AS (SELECT * FROM cand WHERE b = 0),
+        |k1 AS (SELECT c.* FROM cand c WHERE b = 1
+        |       AND NOT EXISTS (SELECT 1 FROM k0 WHERE k0.text = c.text)),
+        |k2 AS (SELECT c.* FROM cand c WHERE b = 2
+        |       AND NOT EXISTS (SELECT 1 FROM k1 WHERE k1.text = c.text)),
+        |k3 AS (SELECT c.* FROM cand c WHERE b = 3
+        |       AND NOT EXISTS (SELECT 1 FROM k2 WHERE k2.text = c.text))
+        |SELECT doc_id, text FROM (
+        |  SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |  UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)""".stripMargin,
 
     // the near-dup replay's keeper set over the SAME generated corpus:
     // duplicates are verbatim (LSH decisions deterministic), so the

@@ -264,6 +264,53 @@ object Multimodal {
       }(encoder)
   }
 
+  /**
+   * Synthesize a media table whose payloads are REAL G.711 WAVE containers
+   * — µ-law (format tag 7) for most ids, A-law (tag 6) for ids ≡0 mod 3,
+   * so one query exercises BOTH expansion tables — driving [[G711Codec]]
+   * through [[extractFeatures]] under a cross-engine oracle. Geometry and
+   * content are pure id arithmetic:
+   *
+   *   channels = id % 2 + 1, rate = 8000 Hz, frames = id % 32 + 8,
+   *   code byte on channel ch = id·(11 + 6·ch) % 256 (constant per channel)
+   *
+   * so each per-channel decoded sum is exactly frames · g711(code), and
+   * the G.711 expansion itself is integer shift/mask arithmetic the mm9
+   * oracle writes directly in SQL (|sum| ≤ 39·32256 — exact in float32).
+   * The container is written by the JDK's own WAVE writer, whose
+   * ULAW/ALAW support makes the encode→decode round trip fully real.
+   */
+  def synthesizeG711AudioTable(ids: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(MediaSchema)
+    ids.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val channels = (id % 2 + 1).toInt
+          val frames = (id % 32 + 8).toInt
+          val codes = new Array[Byte](frames * channels)
+          var i = 0
+          while (i < codes.length) {
+            val ch = i % channels
+            codes(i) = ((id * (11 + 6 * ch)) % 256).toByte
+            i += 1
+          }
+          val enc =
+            if (id % 3 == 0) javax.sound.sampled.AudioFormat.Encoding.ALAW
+            else javax.sound.sampled.AudioFormat.Encoding.ULAW
+          val fmt = new javax.sound.sampled.AudioFormat(
+            enc, 8000f, 8, channels, channels, 8000f, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(codes), fmt, frames.toLong)
+          val bytes = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bytes)
+          Row(id, "audio", bytes.toByteArray,
+            Row(null, null, channels, 8000, frames * 1000L / 8000L))
+        }
+      }(encoder)
+  }
+
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte], features: Array[Float])
 

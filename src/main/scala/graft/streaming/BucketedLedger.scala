@@ -62,7 +62,8 @@ object BucketedLedger {
 final case class BucketedLedger(table: String, buckets: Int,
                                 keys: Seq[String], schemaDdl: String,
                                 compactAfterFiles: Int = 64,
-                                retention: Option[String] = None) {
+                                retention: Option[String] = None,
+                                now: Option[() => java.sql.Timestamp] = None) {
   require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
     s"ledger table must be a plain SQL identifier: $table")
   require(keys.nonEmpty, "ledger needs at least one bucket key")
@@ -71,6 +72,23 @@ final case class BucketedLedger(table: String, buckets: Int,
       "or every append would trigger a rewrite")
 
   def schema: StructType = StructType.fromDDL(schemaDdl)
+
+  /** Retention predicate with the optional `{now}` token resolved against
+    * the injected clock — re-evaluated at EVERY use so a long-lived ledger
+    * sees the clock advance. Production retention exprs reference
+    * `current_timestamp()` directly and pass through untouched; `{now}`
+    * exists for deterministic replays (the sq3 oracle), where window
+    * expiry must be a function of the batch sequence, not of how fast the
+    * batches happened to run — the substituted TIMESTAMP literal also
+    * pushes down to the parquet scan, which `current_timestamp()` (a
+    * per-query-start value, still foldable) equally allows. */
+  private def retentionPredicate: Option[String] = retention.map { r =>
+    if (r.contains("{now}")) {
+      val clock = now.getOrElse(sys.error(
+        s"ledger $table: retention references {now} but no clock was injected"))
+      r.replace("{now}", s"TIMESTAMP '${clock()}'")
+    } else r
+  }
 
   private val tmpT = table + "__compacting"
   private val oldT = table + "__old"
@@ -171,7 +189,7 @@ final case class BucketedLedger(table: String, buckets: Int,
       }
     }
     resolved match {
-      case Some(df) => retention.fold(df)(r => df.filter(expr(r)))
+      case Some(df) => retentionPredicate.fold(df)(r => df.filter(expr(r)))
       case None =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
@@ -364,7 +382,7 @@ final case class BucketedLedger(table: String, buckets: Int,
         .location.toString
       val w = writeSession(spark)
       val raw = w.read.schema(schema).parquet(loc)
-      retention.fold(raw)(r => raw.filter(expr(r)))
+      retentionPredicate.fold(raw)(r => raw.filter(expr(r)))
         .repartition(buckets, keys.map(col): _*)
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -57,11 +57,12 @@ object StreamingEvents {
     * on — bounded-window dedup instead of whole-history dedup. */
   def exactDedupLedger(table: String, buckets: Int = 16,
                        compactAfterFiles: Int = 64,
-                       retention: Option[String] = None): BucketedLedger =
+                       retention: Option[String] = None,
+                       now: Option[() => java.sql.Timestamp] = None): BucketedLedger =
     BucketedLedger(table, buckets, Seq("fingerprint"),
       if (retention.isDefined) "fingerprint BIGINT, seen_at TIMESTAMP"
       else "fingerprint BIGINT",
-      compactAfterFiles, retention)
+      compactAfterFiles, retention, now)
 
   /** One micro-batch of the exact-dedup sink, as a plain DataFrame
     * transform (package-visible so the spec can audit the physical plan):
@@ -119,11 +120,20 @@ object StreamingEvents {
                      outPath: String, ledgerTable: String,
                      checkpointPath: String, ledgerBuckets: Int = 16,
                      compactAfterFiles: Int = 64,
-                     retention: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ledger = exactDedupLedger(ledgerTable, ledgerBuckets, compactAfterFiles, retention)
+                     retention: Option[String] = None,
+                     clock: Option[Long => java.sql.Timestamp] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // `clock` (batchId -> logical now) makes retention DETERMINISTIC for
+    // replay oracles: `seen_at` stamps come from the clock instead of the
+    // wall, and a `{now}` token in `retention` resolves per batch
+    // (BucketedLedger.retentionPredicate). Production streams omit it.
+    // The cell is driver-side state, like the foreachBatch closure itself.
+    val nowCell = new java.util.concurrent.atomic.AtomicReference[java.sql.Timestamp]
+    val ledger = exactDedupLedger(ledgerTable, ledgerBuckets, compactAfterFiles,
+      retention, clock.map(_ => () => nowCell.get))
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        clock.foreach(c => nowCell.set(c(batchId)))
         val s = batch.sparkSession
         val fresh = exactDedupBatch(batch, textCol, keepOrder, ledger)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -131,7 +141,9 @@ object StreamingEvents {
           .write.mode("append").parquet(outPath)
         val fps = fresh.select(col("dup_group").as("fingerprint"))
         ledger.append(
-          if (retention.isDefined) fps.withColumn("seen_at", current_timestamp())
+          if (retention.isDefined)
+            fps.withColumn("seen_at",
+              clock.fold(current_timestamp())(_ => lit(nowCell.get)))
           else fps)
         fresh.unpersist()
         ledger.maybeCompact(s)
@@ -369,11 +381,14 @@ object StreamingEvents {
   def replayExactDedup(docs: DataFrame, textCol: String, keepOrder: Seq[String],
                        batchCol: org.apache.spark.sql.Column, numBatches: Int,
                        root: String, ledgerTable: String,
-                       buckets: Int = 8): DataFrame =
+                       buckets: Int = 8,
+                       retention: Option[String] = None,
+                       clock: Option[Long => Timestamp] = None): DataFrame =
     replay(docs, batchCol, numBatches, root, ledgerTable) { stream =>
       exactDedupSink(stream, textCol, keepOrder,
         outPath = s"$root/out", ledgerTable = ledgerTable,
-        checkpointPath = s"$root/ckpt", ledgerBuckets = buckets)
+        checkpointPath = s"$root/ckpt", ledgerBuckets = buckets,
+        retention = retention, clock = clock)
     }
 
   /**

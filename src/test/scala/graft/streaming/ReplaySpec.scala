@@ -51,6 +51,50 @@ class ReplaySpec extends SparkSpecBase {
     assert(out.select("doc_id").as[Long].collect().toSet === expectedKeepers)
   }
 
+  // Retention semantics under the injected logical clock (batch b at
+  // minute b, 90 s window): a KEPT row suppresses exactly the next batch;
+  // a SUPPRESSED occurrence is not re-stamped and so does not extend the
+  // window. batch = doc_id % 4:
+  //  - "alpha" at 0,1,2: kept 0; suppressed 1; RE-ADMITTED 2 (the batch-1
+  //    hit didn't refresh — the discriminating case);
+  //  - "beta" at 4,6 (batches 0,2): gap 120 s > 90 — both kept;
+  //  - "gamma" at 8,9 (batches 0,1): inside the window — only 8 kept;
+  //  - "eps" at 12,14,15 (batches 0,2,3): kept 12; re-admitted 14; 15
+  //    suppressed by the FRESH batch-2 stamp;
+  //  - "delta" at 3 only — trivially kept.
+  test("replayExactDedup with retention re-admits expired texts, no refresh from suppressed hits") {
+    val corpus = Seq(
+      (0L, "alpha one"), (1L, "alpha one"), (2L, "alpha one"),
+      (4L, "beta two"), (6L, "beta two"),
+      (8L, "gamma three"), (9L, "gamma three"),
+      (12L, "eps four"), (14L, "eps four"), (15L, "eps four"),
+      (3L, "delta five"))
+    val out = StreamingEvents.replayExactDedup(
+      corpus.toDF("doc_id", "text"), "text", keepOrder = Seq("doc_id"),
+      batchCol = pmod(col("doc_id"), lit(4)), numBatches = 4,
+      root = "/tmp/graft-replay-spec-ret", ledgerTable = "replay_spec_ret",
+      retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"),
+      clock = Some(b => java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusMinutes(b))))
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      Set(0L, 2L, 4L, 6L, 8L, 12L, 14L, 3L))
+  }
+
+  test("a {now} retention token without an injected clock fails loudly") {
+    // drop catalog entry AND location: a previous JVM's run leaves the
+    // warehouse dir behind while the fresh metastore forgot the table
+    spark.sql("DROP TABLE IF EXISTS replay_spec_noclock")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "replay_spec_noclock")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    val led = StreamingEvents.exactDedupLedger("replay_spec_noclock",
+      retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"))
+    led.append(Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("fingerprint", "seen_at"))
+    val ex = intercept[RuntimeException] { led.readOrEmpty(spark) }
+    assert(ex.getMessage.contains("no clock was injected"))
+  }
+
   test("replay is idempotent across re-runs (state cleaned on entry)") {
     val run = () => StreamingEvents.replayExactDedup(
       corpus.toDF("doc_id", "text"), "text", keepOrder = Seq("doc_id"),
