@@ -934,6 +934,34 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    // Streaming NEAR-dup with a RETENTION window, driver-oracled — sq3's
+    // recurrence over the BANDED ledger (the heavier path: per-band
+    // seen_at stamps, band-join suppression, atomic per-keeper expiry).
+    // sq2's generated corpus (verbatim echoes → every LSH decision
+    // deterministic) with sq3's echo-batch design and logical clock, so
+    // the keeper set is the same 4-level CTE recurrence: kept(b) =
+    // per-(batch, text) min-id candidates whose text was not kept at b-1.
+    "sq4_streaming_neardup_retention" -> ((s, dir) => {
+      val gen = T(s, dir, "documents").select("doc_id")
+        .selectExpr("doc_id", s"'doc ' || ${sq2Tokens("STRING")} AS text")
+      val corpus = gen
+        .unionAll(gen.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+        .unionAll(gen.filter(pmod(col("doc_id"), lit(11)) === 5)
+          .select((col("doc_id") + 2000002L).as("doc_id"), col("text")))
+        .unionAll(gen.filter(pmod(col("doc_id"), lit(13)) === 2)
+          .select((col("doc_id") + 3000001L).as("doc_id"), col("text")))
+        .unionAll(gen.filter(pmod(col("doc_id"), lit(13)) === 2)
+          .select((col("doc_id") + 7000002L).as("doc_id"), col("text")))
+      StreamingEvents.replayNearDup(corpus, "doc_id", "text", threshold = 0.7,
+        batchCol = pmod(col("doc_id"), lit(4)), numBatches = 4,
+        root = "/tmp/graft-sq4-replay", ledgerTable = "sq4_replay_ledger",
+        retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"),
+        clock = Some(b => java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusMinutes(b))))
+        .select(col("doc_id"), col("text"))
+    }),
+
     // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
     // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
     // generation can only lose pairs, never invent them, so equality both
@@ -1735,6 +1763,37 @@ object SparkEntry {
         |                            ORDER BY doc_id % 4, doc_id) AS rn
         |  FROM corpus)
         |WHERE rn = 1""".stripMargin,
+
+    // sq3's retention recurrence over the GENERATED near-dup corpus
+    // (verbatim echoes; see sq2's corpus note) — certifies the banded
+    // ledger's bounded-window semantics end to end
+    "sq4_streaming_neardup_retention" ->
+      s"""WITH gen AS (
+        |  SELECT doc_id, 'doc ' || ${sq2Tokens("VARCHAR")} AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM gen
+        |  UNION ALL
+        |  SELECT doc_id + 1000001, text FROM gen WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000002, text FROM gen WHERE doc_id % 11 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 3000001, text FROM gen WHERE doc_id % 13 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 7000002, text FROM gen WHERE doc_id % 13 = 2),
+        |cand AS (
+        |  SELECT doc_id % 4 AS b, text, min(doc_id) AS doc_id
+        |  FROM corpus GROUP BY 1, 2),
+        |k0 AS (SELECT * FROM cand WHERE b = 0),
+        |k1 AS (SELECT c.* FROM cand c WHERE b = 1
+        |       AND NOT EXISTS (SELECT 1 FROM k0 WHERE k0.text = c.text)),
+        |k2 AS (SELECT c.* FROM cand c WHERE b = 2
+        |       AND NOT EXISTS (SELECT 1 FROM k1 WHERE k1.text = c.text)),
+        |k3 AS (SELECT c.* FROM cand c WHERE b = 3
+        |       AND NOT EXISTS (SELECT 1 FROM k2 WHERE k2.text = c.text))
+        |SELECT doc_id, text FROM (
+        |  SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |  UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)""".stripMargin,
 
     "mm2_media_features" ->
       """WITH b AS (

@@ -212,11 +212,17 @@ object StreamingEvents {
                   rowsPerBand: Int = 4, seed: Long = 42L,
                   maxBucketSize: Option[Int] = None, ledgerBuckets: Int = 16,
                   compactAfterFiles: Int = 64,
-                  retention: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ledger = nearDupLedger(ledgerTable, ledgerBuckets, compactAfterFiles, retention)
+                  retention: Option[String] = None,
+                  clock: Option[Long => java.sql.Timestamp] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // injectable logical clock for deterministic retention replays —
+    // identical contract to [[exactDedupSink]]'s `clock`
+    val nowCell = new java.util.concurrent.atomic.AtomicReference[java.sql.Timestamp]
+    val ledger = nearDupLedger(ledgerTable, ledgerBuckets, compactAfterFiles,
+      retention, clock.map(_ => () => nowCell.get))
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        clock.foreach(c => nowCell.set(c(batchId)))
         val s = batch.sparkSession
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val kept = nearDupBatch(b, idCol, textCol, threshold, n, bands,
@@ -226,7 +232,9 @@ object StreamingEvents {
         kept.drop("__sig").write.mode("append").parquet(outPath)
         val banded = bandedSignatures(kept, bands, rowsPerBand)
         ledger.append(
-          if (retention.isDefined) banded.withColumn("seen_at", current_timestamp())
+          if (retention.isDefined)
+            banded.withColumn("seen_at",
+              clock.fold(current_timestamp())(_ => lit(nowCell.get)))
           else banded)
         kept.unpersist(); b.unpersist()
         ledger.maybeCompact(s)
@@ -243,11 +251,12 @@ object StreamingEvents {
     * — a subset re-shuffles the ledger, defeating the point. */
   def nearDupLedger(table: String, buckets: Int = 16,
                     compactAfterFiles: Int = 64,
-                    retention: Option[String] = None): BucketedLedger =
+                    retention: Option[String] = None,
+                    now: Option[() => java.sql.Timestamp] = None): BucketedLedger =
     BucketedLedger(table, buckets, Seq("band_idx", "band_hash"),
       "band_idx INT, band_hash BIGINT, sig ARRAY<BIGINT>" +
         (if (retention.isDefined) ", seen_at TIMESTAMP" else ""),
-      compactAfterFiles, retention)
+      compactAfterFiles, retention, now)
 
   /** One micro-batch of the near-dup sink (package-visible for the plan
     * spec): intra-batch near-dup collapse via the full batch operator, then
@@ -407,11 +416,14 @@ object StreamingEvents {
                     threshold: Double,
                     batchCol: org.apache.spark.sql.Column, numBatches: Int,
                     root: String, ledgerTable: String,
-                    buckets: Int = 8): DataFrame =
+                    buckets: Int = 8,
+                    retention: Option[String] = None,
+                    clock: Option[Long => Timestamp] = None): DataFrame =
     replay(docs, batchCol, numBatches, root, ledgerTable) { stream =>
       nearDupSink(stream, idCol, textCol, threshold,
         outPath = s"$root/out", ledgerTable = ledgerTable,
-        checkpointPath = s"$root/ckpt", ledgerBuckets = buckets)
+        checkpointPath = s"$root/ckpt", ledgerBuckets = buckets,
+        retention = retention, clock = clock)
     }
 
   /** Shared replay plumbing: clean state, stage one parquet file per

@@ -80,6 +80,26 @@ class ReplaySpec extends SparkSpecBase {
       Set(0L, 2L, 4L, 6L, 8L, 12L, 14L, 3L))
   }
 
+  test("replayNearDup with retention: banded-ledger expiry follows the same recurrence") {
+    // verbatim copies -> deterministic LSH decisions, so the keeper set
+    // must equal the exact sink's retention recurrence on the same corpus
+    val corpus = Seq(
+      (0L, "alpha one two three"), (1L, "alpha one two three"), (2L, "alpha one two three"),
+      (4L, "beta four five six"), (6L, "beta four five six"),
+      (8L, "gamma seven eight nine"), (9L, "gamma seven eight nine"),
+      (12L, "eps ten eleven twelve"), (14L, "eps ten eleven twelve"), (15L, "eps ten eleven twelve"),
+      (3L, "delta thirteen fourteen fifteen"))
+    val out = StreamingEvents.replayNearDup(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7,
+      batchCol = pmod(col("doc_id"), lit(4)), numBatches = 4,
+      root = "/tmp/graft-replay-spec-nearret", ledgerTable = "replay_spec_nearret",
+      retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"),
+      clock = Some(b => java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusMinutes(b))))
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      Set(0L, 2L, 4L, 6L, 8L, 12L, 14L, 3L))
+  }
+
   test("a {now} retention token without an injected clock fails loudly") {
     // drop catalog entry AND location: a previous JVM's run leaves the
     // warehouse dir behind while the fresh metastore forgot the table
