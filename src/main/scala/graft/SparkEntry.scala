@@ -929,8 +929,7 @@ object SparkEntry {
         numBatches = 4, root = "/tmp/graft-sq3-replay",
         ledgerTable = "sq3_replay_ledger",
         retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"),
-        clock = Some(b => java.sql.Timestamp.valueOf(
-          java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusMinutes(b))))
+        clock = Some(StreamingEvents.utcMinuteClock))
         .select(col("doc_id"), col("text"))
     }),
 
@@ -957,8 +956,7 @@ object SparkEntry {
         batchCol = pmod(col("doc_id"), lit(4)), numBatches = 4,
         root = "/tmp/graft-sq4-replay", ledgerTable = "sq4_replay_ledger",
         retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"),
-        clock = Some(b => java.sql.Timestamp.valueOf(
-          java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusMinutes(b))))
+        clock = Some(StreamingEvents.utcMinuteClock))
         .select(col("doc_id"), col("text"))
     }),
 

@@ -79,14 +79,22 @@ final case class BucketedLedger(table: String, buckets: Int,
     * `current_timestamp()` directly and pass through untouched; `{now}`
     * exists for deterministic replays (the sq3 oracle), where window
     * expiry must be a function of the batch sequence, not of how fast the
-    * batches happened to run — the substituted TIMESTAMP literal also
+    * batches happened to run — the substituted foldable expression also
     * pushes down to the parquet scan, which `current_timestamp()` (a
-    * per-query-start value, still foldable) equally allows. */
+    * per-query-start value, still foldable) equally allows. The token is
+    * rendered as `timestamp_micros(<epoch>)` — instant-based, like the
+    * `lit(...)` path that stamps `seen_at` — never as a `TIMESTAMP '...'`
+    * string literal: `Timestamp.toString` renders the wall clock in the
+    * JVM DEFAULT zone while the literal parses in the SESSION zone (pinned
+    * UTC), so on a non-UTC host the string round-trip would shift the
+    * window boundary by the host offset relative to the stamps. */
   private def retentionPredicate: Option[String] = retention.map { r =>
     if (r.contains("{now}")) {
       val clock = now.getOrElse(sys.error(
         s"ledger $table: retention references {now} but no clock was injected"))
-      r.replace("{now}", s"TIMESTAMP '${clock()}'")
+      val ts = clock()
+      val micros = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+      r.replace("{now}", s"timestamp_micros(${micros}L)")
     } else r
   }
 

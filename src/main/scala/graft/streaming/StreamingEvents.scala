@@ -426,6 +426,18 @@ object StreamingEvents {
         retention = retention, clock = clock)
     }
 
+  /** Logical replay clock: batch `b` ↦ the UTC instant
+    * `2026-01-01T00:00:00Z + b minutes`. Built INSTANT-based
+    * (`Timestamp.from(Instant)`), never via `Timestamp.valueOf(LocalDateTime)`:
+    * the repo pins only the SESSION time zone (GraftSession sets UTC), not
+    * the JVM default zone, and `valueOf` derives its epoch from the default
+    * zone — on a non-UTC host the `seen_at` stamps (epoch-faithful via
+    * `lit`) and the `{now}` retention boundary would shift by the host
+    * offset and the sq3/sq4 oracles would break. */
+  def utcMinuteClock(b: Long): Timestamp =
+    Timestamp.from(java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+      .plusMinutes(b).toInstant(java.time.ZoneOffset.UTC))
+
   /** Shared replay plumbing: clean state, stage one parquet file per
     * micro-batch with forced strictly-increasing mtimes (the file source
     * triggers oldest-first, so `maxFilesPerTrigger=1` replays them in

@@ -74,8 +74,7 @@ class ReplaySpec extends SparkSpecBase {
       batchCol = pmod(col("doc_id"), lit(4)), numBatches = 4,
       root = "/tmp/graft-replay-spec-ret", ledgerTable = "replay_spec_ret",
       retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"),
-      clock = Some(b => java.sql.Timestamp.valueOf(
-        java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusMinutes(b))))
+      clock = Some(StreamingEvents.utcMinuteClock))
     assert(out.select("doc_id").as[Long].collect().toSet ===
       Set(0L, 2L, 4L, 6L, 8L, 12L, 14L, 3L))
   }
@@ -94,8 +93,7 @@ class ReplaySpec extends SparkSpecBase {
       batchCol = pmod(col("doc_id"), lit(4)), numBatches = 4,
       root = "/tmp/graft-replay-spec-nearret", ledgerTable = "replay_spec_nearret",
       retention = Some("seen_at > {now} - INTERVAL 90 SECONDS"),
-      clock = Some(b => java.sql.Timestamp.valueOf(
-        java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusMinutes(b))))
+      clock = Some(StreamingEvents.utcMinuteClock))
     assert(out.select("doc_id").as[Long].collect().toSet ===
       Set(0L, 2L, 4L, 6L, 8L, 12L, 14L, 3L))
   }
