@@ -194,7 +194,19 @@ object Bench {
       if (cheap.isEmpty) ""
       else s""","cheap_floor_s":${median(cheap.map(_._2))},"cheap_floor_queries":${
         cheap.map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$totalFinal,"unit":"sec","queries":$qsFinal,"sf":"$sfDir"$failedJson$spread$wave$cheapJson}""")
+    // Harness tagging (r15): the sq replay-certification queries are fixed
+    // stream machinery (~70% of the suite total at sf0.1), not data-scaled
+    // batch work — tag them and emit an ex-harness total so round-over-round
+    // comparisons of "value" don't read replay overhead as batch regression.
+    val harnessRan = names.filter(SparkEntry.harnessQueries).sorted
+    val harnessJson =
+      if (harnessRan.isEmpty) ""
+      else {
+        val exTotal = finalResults
+          .collect { case (n, v) if v >= 0 && !SparkEntry.harnessQueries(n) => v }.sum
+        s""","harness_queries":${harnessRan.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_ex_harness":$exTotal"""
+      }
+    println(s"""{"metric":"total","value":$totalFinal,"unit":"sec","queries":$qsFinal,"sf":"$sfDir"$failedJson$spread$wave$cheapJson$harnessJson}""")
     spark.stop()
   }
 }
