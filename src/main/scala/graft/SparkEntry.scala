@@ -54,7 +54,8 @@ object SparkEntry {
     * comparisons stay interpretable without reading BENCH_NOTES. */
   val harnessQueries: Set[String] = Set(
     "sq1_streaming_exact_dedup", "sq2_streaming_neardup",
-    "sq3_streaming_dedup_retention", "sq4_streaming_neardup_retention")
+    "sq3_streaming_dedup_retention", "sq4_streaming_neardup_retention",
+    "sq5_streaming_sessionize")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -973,6 +974,31 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    // §2.10: driver-oracled STATEFUL SESSIONIZATION (sq5) — the sq1 replay
+    // pattern over StreamingEvents.sessionize (flatMapGroupsWithState +
+    // event-time timeout), completing the streaming oracle surface with
+    // the STATE path next to the dedup-ledger paths. Batches are
+    // TIME-ORDERED (ntile over (ts, event_id)) so the advancing watermark
+    // never drops a real event; the harness's far-future sentinel batch
+    // flushes still-open sessions via timeout (see replaySessionize).
+    // Event times truncate to whole seconds: the stateful operator is
+    // millisecond-grained (Timestamp.getTime) while the parquet events
+    // carry microseconds — truncation makes streaming, batch and oracle
+    // gap arithmetic bit-identical. Session boundaries equal the batch
+    // gap-and-island operator (w13's SQL, emitted per-session).
+    // The global ntile window is certification-fixture staging, like the
+    // replay's coalesce(1) — the production path is sessionize itself.
+    "sq5_streaming_sessionize" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_id"))
+      val batched = ev.withColumn("__batch",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))) - 1)
+      StreamingEvents.replaySessionize(batched, gapSeconds = 3600,
+        batchCol = col("__batch"), numBatches = 4,
+        root = "/tmp/graft-sq5-replay")
+    }),
+
     // Embedding-cosine near-duplicate pairs over LSH buckets. Oracled against
     // DuckDB brute-force cosine ≥ 0.95 over all pairs: LSH candidate
     // generation can only lose pairs, never invent them, so equality both
@@ -1805,6 +1831,30 @@ object SparkEntry {
         |SELECT doc_id, text FROM (
         |  SELECT * FROM k0 UNION ALL SELECT * FROM k1
         |  UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)""".stripMargin,
+
+    // the stateful replay's sessions ARE the batch gap-and-island answer
+    // (w13's SQL, emitted per-session instead of rolled up per-user):
+    // time-ordered batches + the sentinel flush make the streaming state
+    // path emit exactly one row per (user, session). Second-truncated
+    // event times keep the epoch arithmetic identical on both sides.
+    "sq5_streaming_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |             OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS INT) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "mm2_media_features" ->
       """WITH b AS (

@@ -393,7 +393,7 @@ object StreamingEvents {
                        buckets: Int = 8,
                        retention: Option[String] = None,
                        clock: Option[Long => Timestamp] = None): DataFrame =
-    replay(docs, batchCol, numBatches, root, ledgerTable) { stream =>
+    replay(docs, batchCol, numBatches, root, Some(ledgerTable)) { stream =>
       exactDedupSink(stream, textCol, keepOrder,
         outPath = s"$root/out", ledgerTable = ledgerTable,
         checkpointPath = s"$root/ckpt", ledgerBuckets = buckets,
@@ -419,12 +419,64 @@ object StreamingEvents {
                     buckets: Int = 8,
                     retention: Option[String] = None,
                     clock: Option[Long => Timestamp] = None): DataFrame =
-    replay(docs, batchCol, numBatches, root, ledgerTable) { stream =>
+    replay(docs, batchCol, numBatches, root, Some(ledgerTable)) { stream =>
       nearDupSink(stream, idCol, textCol, threshold,
         outPath = s"$root/out", ledgerTable = ledgerTable,
         checkpointPath = s"$root/ckpt", ledgerBuckets = buckets,
         retention = retention, clock = clock)
     }
+
+  /**
+   * Bounded REPLAY of [[sessionize]] for driver-oracle certification (the
+   * `sq5` query), completing the streaming oracle matrix with the STATE
+   * path (`flatMapGroupsWithState`) next to the dedup-ledger paths
+   * (sq1–sq4). `events` must carry `(user_id, ts, event_id)` plus whatever
+   * `batchCol` reads; batches MUST be time-ordered (every event in batch
+   * b+1 at or after every event in batch b) or the advancing watermark
+   * would drop stragglers and the oracle — which sees no watermark — would
+   * disagree. The caller gets that for free from an
+   * `ntile(n) over (order by ts, event_id)` batch column.
+   *
+   * Append-mode `flatMapGroupsWithState` only emits a session when a later
+   * event closes it or its event-time timeout passes the watermark —
+   * sessions still open after the last data batch would never surface. The
+   * harness therefore appends ONE extra sentinel batch: a single far-future
+   * event (`user_id = -1` at `flushTs`, default 2100-01-01 UTC) that
+   * advances the watermark past every real session's timeout, so the
+   * trailing no-data micro-batch fires the timeouts and flushes them. The
+   * sentinel's own session can never time out (the watermark never reaches
+   * `flushTs + gap`) and is never emitted — the output is exactly the
+   * batch gap-and-island answer over the real events, which is what makes
+   * the stateful path DuckDB-oracleable (the `w13` SQL, emitted
+   * per-session).
+   *
+   * Precision note: [[sessionize]] is millisecond-grained
+   * (`Timestamp.getTime`); feed it second- (or milli-)truncated event
+   * times so the oracle's epoch arithmetic is bit-identical.
+   */
+  def replaySessionize(events: DataFrame, gapSeconds: Long,
+                       batchCol: org.apache.spark.sql.Column, numBatches: Int,
+                       root: String, watermark: String = "2 hours",
+                       flushTs: Timestamp = Timestamp.from(
+                         java.time.Instant.parse("2100-01-01T00:00:00Z"))): DataFrame = {
+    val spark = events.sparkSession
+    val corpus = events.select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        batchCol.cast("int").as("__batch"))
+      .unionByName(spark.range(1).select(lit(-1L).as("user_id"),
+        lit(flushTs).as("ts"), lit(-1L).as("event_id"),
+        lit(numBatches).as("__batch")))
+    replay(corpus, col("__batch"), numBatches + 1, root, None) { stream =>
+      import spark.implicits._
+      sessionize(stream.select(col("user_id"), col("ts"), col("event_id"))
+          .as[SessionEvent], gapSeconds, watermark)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").start()
+    }
+  }
 
   /** Logical replay clock: batch `b` ↦ the UTC instant
     * `2026-01-01T00:00:00Z + b minutes`. Built INSTANT-based
@@ -444,14 +496,14 @@ object StreamingEvents {
     * batch order), run the sink to completion, return the output. */
   private def replay(docs: DataFrame,
                      batchCol: org.apache.spark.sql.Column, numBatches: Int,
-                     root: String, ledgerTable: String)(
+                     root: String, ledgerTable: Option[String])(
       startSink: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     val spark = docs.sparkSession
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(rootP, true)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    Seq(ledgerTable, ledgerTable + "__compacting", ledgerTable + "__old").foreach { t =>
+    ledgerTable.toSeq.flatMap(l => Seq(l, l + "__compacting", l + "__old")).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
     }

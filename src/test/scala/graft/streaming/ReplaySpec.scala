@@ -121,4 +121,48 @@ class ReplaySpec extends SparkSpecBase {
     assert(run().count() === 4L)
     assert(run().count() === 4L) // a stale ledger/output would change this
   }
+
+  // The sq5 harness at fixture scale. Time-ordered batches (boundaries at
+  // minutes 30 and 60); gap 600 s. Each user certifies one mechanism:
+  //  - user 1 events at minutes 0, 5 (batch 0) and 40 (batch 1): gap 35
+  //    min > 10 min closes {0,5} when 40 arrives (successor-closure
+  //    ACROSS a batch boundary); session {40} stays open until the
+  //    sentinel flush (timeout path);
+  //  - user 2 events at minutes 25 (batch 0) and 31 (batch 1): gap 6 min
+  //    — ONE session SPANNING the batch boundary, emitted by the flush;
+  //  - user 3 event at minute 70 (batch 2, the last real batch): a
+  //    session that NO successor can close — only the sentinel flush
+  //    emits it (the case that fails if the flush machinery breaks).
+  test("replaySessionize equals batch gap-and-island; sentinel flushes open sessions and never emits") {
+    def m(i: Int) = new java.sql.Timestamp(1735689600000L + i * 60000L) // 2025-01-01 UTC + i min
+    val events = Seq(
+      (1L, m(0), 10L), (1L, m(5), 11L), (1L, m(40), 12L),
+      (2L, m(25), 20L), (2L, m(31), 21L),
+      (3L, m(70), 30L)).toDF("user_id", "ts", "event_id")
+    val batched = events.withColumn("__batch",
+      org.apache.spark.sql.functions.when(col("ts") < lit(m(30)), 0)
+        .when(col("ts") < lit(m(60)), 1).otherwise(2))
+    val out = StreamingEvents.replaySessionize(batched, gapSeconds = 600,
+      batchCol = col("__batch"), numBatches = 3,
+      root = "/tmp/graft-replay-spec-sess")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)]
+      .collect().toSet
+    val expected = Set(
+      (1L, m(0), m(5), 2), (1L, m(40), m(40), 1),
+      (2L, m(25), m(31), 2),
+      (3L, m(70), m(70), 1))
+    assert(out === expected) // includes: no sentinel (-1) row emitted
+    // and the batch operator agrees on the same corpus
+    val batch = graft.operators.Sessionize.byGap(events, Seq("user_id"),
+        col("ts"), Seq(col("ts"), col("event_id")), gapSeconds = 600)
+      .groupBy("user_id", "session_id")
+      .agg(org.apache.spark.sql.functions.min("ts").as("session_start"),
+        org.apache.spark.sql.functions.max("ts").as("session_end"),
+        org.apache.spark.sql.functions.count(lit(1)).cast("int").as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)]
+      .collect().toSet
+    assert(batch === expected)
+  }
 }
