@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Tables}
 import graft.dedup.{Dedup, MinHash, SimHash}
 import graft.functions.{TextFunctions => TF, TimeTokens, VectorFunctions => VF}
-import graft.multimodal.Multimodal
+import graft.multimodal.{CodecJarBuilder, Multimodal}
 import graft.operators._
 import graft.similarity.Knn
 import graft.streaming.StreamingEvents
@@ -842,6 +842,25 @@ object SparkEntry {
     // either table's complement/bias/segment/sign logic lands off the
     // analytic line. The JDK's own ULAW/ALAW converter pins all 512 table
     // entries out-of-band in G711CodecSpec.
+    // Multimodal: the jar-dropped codec deployment seam, driver-oracled
+    // (mm10) — CodecJarBuilder javac-compiles an external-package codec
+    // into a REAL standalone jar (decode = Airlift aircompressor's
+    // SnappyDecompressor, third-party), spark.addArtifact ships it, and
+    // ServiceLoader discovers it executor-side by name inside
+    // extractFeatures. Payloads are snappy-compressed text; the oracle is
+    // byte arithmetic over the ORIGINAL text, so a codec that skipped the
+    // decompression (or a stub fallback) sums differently and fails.
+    "mm10_jar_codec_features" -> ((s, dir) => {
+      s.addArtifact(CodecJarBuilder.build())
+      val media = Multimodal.synthesizeSnappyDocTable(
+        T(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, dims = 8,
+          codec = CodecJarBuilder.codecName)
+        .select(col("media_id"),
+          round(VF.arraySum(col("features")), 2).as("feature_sum"),
+          size(col("features")).cast("long").as("dims"))
+    }),
+
     "mm9_g711_audio_features" -> ((s, dir) => {
       val auds = Multimodal.synthesizeG711AudioTable(
         T(s, dir, "documents").select("doc_id"), "doc_id")
@@ -1855,6 +1874,20 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       CAST(count(*) AS INT) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // mm10 decodes snappy(text) back to text through the jar codec: the
+    // expected features ARE mm2's byte folds of the original text — the
+    // equality is what certifies the round-trip (compressed bytes would
+    // sum differently)
+    "mm10_jar_codec_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT media_id,
+        | round(COALESCE(list_sum(list_transform(range(0, n),
+        |   i -> CAST('0x' || substring(h, 2*i + 1, 2) AS INT))), 0), 2) AS feature_sum,
+        | CAST(8 AS BIGINT) AS dims
+        |FROM b""".stripMargin,
 
     "mm2_media_features" ->
       """WITH b AS (

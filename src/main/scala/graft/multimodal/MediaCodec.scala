@@ -44,21 +44,22 @@ object MediaCodecs {
   }
 
   private val codecs = TrieMap[String, MediaCodec](StubCodec.name -> StubCodec)
-  @volatile private var serviceLoaderScanned = false
 
   def register(codec: MediaCodec): Unit = codecs.put(codec.name, codec)
 
   def registered: Set[String] = codecs.keySet.toSet
 
-  /** Resolve a codec by name; scans the ServiceLoader once on first miss. */
+  /** Resolve a codec by name; scans the ServiceLoader on EVERY miss, not
+    * once — a codec jar can arrive AFTER an earlier miss (sparkContext
+    * .addJar mid-session appends to the executor's MutableURLClassLoader,
+    * which is the task thread's context loader ServiceLoader reads), and a
+    * once-only flag would never see it. Hits are cached in the TrieMap, so
+    * rescans cost only on first discovery and on the error path. */
   def apply(name: String): MediaCodec =
     codecs.get(name).getOrElse {
-      if (!serviceLoaderScanned) synchronized {
-        if (!serviceLoaderScanned) {
-          java.util.ServiceLoader.load(classOf[MediaCodec]).asScala
-            .foreach(c => codecs.putIfAbsent(c.name, c))
-          serviceLoaderScanned = true
-        }
+      synchronized {
+        java.util.ServiceLoader.load(classOf[MediaCodec]).asScala
+          .foreach(c => codecs.putIfAbsent(c.name, c))
       }
       codecs.getOrElse(name, throw new IllegalArgumentException(
         s"no MediaCodec named '$name' (registered: ${registered.toSeq.sorted.mkString(", ")}); " +

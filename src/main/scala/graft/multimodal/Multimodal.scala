@@ -311,6 +311,36 @@ object Multimodal {
       }(encoder)
   }
 
+  /**
+   * Media table whose payloads are raw-snappy-compressed UTF-8 text — the
+   * fixture corpus for the jar-dropped codec path (mm10): the
+   * [[CodecJarBuilder]] jar's `airlift-snappy` codec decompresses the
+   * payload with Airlift's `SnappyDecompressor` and folds the DECOMPRESSED
+   * bytes with the stub kernel, so the DuckDB oracle is plain byte
+   * arithmetic over the original text (mm2's SQL shape) and discriminates:
+   * features of the compressed bytes (codec skipped the decode, or the
+   * stub ran instead) sum differently. Compression runs per partition with
+   * one reused compressor instance — narrow, no shuffle.
+   */
+  def synthesizeSnappyDocTable(documents: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    documents.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        val comp = new io.airlift.compress.snappy.SnappyCompressor
+        rows.map { r =>
+          val text = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val buf = new Array[Byte](comp.maxCompressedLength(text.length))
+          val m = comp.compress(text, 0, text.length, buf, 0, buf.length)
+          Row(r.getLong(0), "snappy-doc", java.util.Arrays.copyOf(buf, m))
+        }
+      }(encoder)
+  }
+
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte], features: Array[Float])
 
@@ -358,7 +388,10 @@ object Multimodal {
         // codec init the implementation does
         val c = MediaCodecs(codec)
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+          // positional access (the select above fixes the order): adjacent
+          // mapPartitions stages can fuse, piping schema-less GenericRows
+          // straight through — by-name getAs would throw on those
+          val payload = r.getAs[Array[Byte]](2)
           Row(r.getLong(0), r.getString(1),
             c.features(payload, dims).toSeq)
         }
