@@ -54,9 +54,22 @@ object BucketedLedger {
   /** Transient: a catalog probe succeeded but the directory listing raced
     * the compaction swap's rename and came back empty (see
     * [[BucketedLedger.readOrEmpty]]). Retried internally; escapes only if
-    * the listing stays empty past the retry budget — i.e. a genuinely
-    * file-less table, which append() can never produce. */
+    * the listing stays empty past the retry budget AND the location
+    * carries no [[EmptyMarker]] — i.e. a file-less table that is not the
+    * known legitimate kind, which neither append() nor maybeCompact() can
+    * produce. */
   final class MidSwapListing(msg: String) extends RuntimeException(msg)
+
+  /** Marker file a retention compaction leaves when EVERY row expired and
+    * the rewrite therefore landed zero data files — the one legitimate
+    * file-less ledger state (first observed by the retention_compaction
+    * soak: the boundary compaction emptied the ledger and the sink's next
+    * read misread the stable empty listing as a torn swap and died).
+    * Underscore-prefixed, so Spark's file index and [[BucketedLedger
+    * .fileCount]] both ignore it; the next append adds data files and the
+    * marker becomes irrelevant (empty-listing checks only consult it when
+    * the listing IS empty). */
+  val EmptyMarker = "_graft_empty"
 }
 
 final case class BucketedLedger(table: String, buckets: Int,
@@ -156,11 +169,20 @@ final case class BucketedLedger(table: String, buckets: Int,
         // so the scan silently returns zero rows (no exception to retry
         // on — observed by the race soak). Every ledger created by
         // append() has ≥ 1 data file, so an existing table with an empty
-        // listing is a mid-swap artifact, not an empty ledger: surface it
-        // as a transient miss for the retry loop.
-        if (df.inputFiles.isEmpty)
-          throw new BucketedLedger.MidSwapListing(
-            s"ledger $t resolved with an empty file listing (mid-swap)")
+        // listing is a mid-swap artifact, not an empty ledger — EXCEPT
+        // the one legitimate file-less state: a retention compaction that
+        // expired every row, which marks its zero-file rewrite with
+        // [[BucketedLedger.EmptyMarker]]. Unmarked empties surface as a
+        // transient miss for the retry loop; marked ones read as the
+        // empty ledger they are.
+        if (df.inputFiles.isEmpty) {
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.getTableMetadata(TableIdentifier(t)).location)
+          val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(new org.apache.hadoop.fs.Path(loc, BucketedLedger.EmptyMarker)))
+            throw new BucketedLedger.MidSwapListing(
+              s"ledger $t resolved with an empty file listing (mid-swap)")
+        }
         df
       }
     }
@@ -395,6 +417,20 @@ final case class BucketedLedger(table: String, buckets: Int,
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .saveAsTable(tmpT)
+      // a retention rewrite that expired EVERY row lands zero data files —
+      // mark the location so readers can tell this legitimate empty state
+      // from a torn mid-swap listing (BucketedLedger.EmptyMarker). Written
+      // before the renames, so the state is never observable unmarked.
+      val tmpLoc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(tmpT)).location)
+      val tmpFs = tmpLoc.getFileSystem(spark.sessionState.newHadoopConf())
+      val hasData = tmpFs.exists(tmpLoc) && tmpFs.listStatus(tmpLoc).exists { s =>
+        val nm = s.getPath.getName
+        s.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }
+      if (!hasData)
+        tmpFs.create(new org.apache.hadoop.fs.Path(
+          tmpLoc, BucketedLedger.EmptyMarker), true).close()
       spark.sql(s"ALTER TABLE $table RENAME TO $oldT")
       spark.sql(s"ALTER TABLE $tmpT RENAME TO $table")
       spark.sql(s"DROP TABLE IF EXISTS $oldT")

@@ -54,6 +54,18 @@ import graft.streaming.StreamingEvents
  *    re-emits B's texts (just-stamped keepers → all drop, estimate 1.0).
  *    Use a window that fits two phases of near-dup batches (~4-5 s each):
  *    SPARK_GRAFT_SOAK_WINDOW_S=240 at the defaults.
+ *  - `retention_compaction`: the retention soak with COMPACTION CYCLES
+ *    CROSSING the expiry boundary — the last untested interaction in the
+ *    ledger matrix. The sink runs with a compaction threshold low enough
+ *    (2× buckets) that the appends themselves trigger rewrites inside
+ *    BOTH phases, and the soak forces one more compaction AT the expiry
+ *    boundary, asserting the physical half of the window semantics: after
+ *    the boundary rewrite the ledger holds ZERO rows (every expired
+ *    fingerprint physically removed, bucket spec intact), phase B
+ *    re-admits the full corpus ACROSS that swap, phase C drops it all
+ *    against the fresh stamps, and the final physical state holds exactly
+ *    one fresh-stamped row per fingerprint with no pre-boundary stamp
+ *    surviving.
  *
  * Broadcast joins are disabled for the session in every mode, so the
  * ledger side exercises the bucketed one-sided plan from batch 1 — the
@@ -67,7 +79,7 @@ import graft.streaming.StreamingEvents
  * being re-shuffled per batch. The file count must sawtooth under
  * `compactAfterFiles + buckets` and never trend.
  *
- * Env knobs: SPARK_GRAFT_SOAK_MODE (exact|neardup|retention|neardup_retention),
+ * Env knobs: SPARK_GRAFT_SOAK_MODE (exact|neardup|retention|neardup_retention|retention_compaction),
  * SPARK_GRAFT_SOAK_BATCHES (default 100), SPARK_GRAFT_SOAK_DOCS (per
  * batch, default 2000), SPARK_GRAFT_SOAK_DUP_RATE (default 0.3),
  * SPARK_GRAFT_SOAK_WINDOW_S (retention window seconds, default 60),
@@ -150,6 +162,9 @@ object StreamingSoak {
       case "neardup_retention" =>
         runNearDupRetention(spark, root, ledgerTable, buckets,
           compactAfterFiles, batches, docsPerBatch, windowS)
+      case "retention_compaction" =>
+        runRetentionCompaction(spark, root, ledgerTable, buckets,
+          batches, docsPerBatch, windowS)
       case other => sys.error(s"unknown SPARK_GRAFT_SOAK_MODE: $other")
     }
     spark.stop()
@@ -426,6 +441,147 @@ object StreamingSoak {
       "readmitted_after_expiry" -> corpus.toString
     ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
   }
+
+  /** retention_compaction: the retention soak with compaction cycles
+    * crossing the expiry boundary (see object scaladoc). */
+  private def runRetentionCompaction(spark: SparkSession, root: String,
+                                     ledgerTable: String, buckets: Int,
+                                     batches: Int, docsPerBatch: Int,
+                                     windowS: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // threshold 2×buckets: each append lands ≤ buckets files, so every
+    // ~3rd append crosses the threshold — compactions run INSIDE the
+    // phases, not just at the boundary we force below
+    val compactAfterFiles = buckets * 2
+    val phaseBatches = math.max(4, batches / 10)
+    val corpus = phaseBatches.toLong * docsPerBatch
+    val retention = s"seen_at > current_timestamp() - interval $windowS seconds"
+
+    val stream = MemoryStream[Doc]
+    val query = StreamingEvents.exactDedupSink(stream.toDF(), "text",
+      keepOrder = Seq("doc_id"), outPath = s"$root/out",
+      ledgerTable = ledgerTable, checkpointPath = s"$root/ckpt",
+      ledgerBuckets = buckets, compactAfterFiles = compactAfterFiles,
+      retention = Some(retention))
+    // independent handle on the SAME catalog table, for the forced
+    // boundary compaction and the physical-state reads; safe because the
+    // sink only writes inside processAllAvailable, which has returned
+    val handle = StreamingEvents.exactDedupLedger(ledgerTable, buckets,
+      compactAfterFiles = buckets, retention = Some(retention))
+
+    def emitCorpus(phase: String, idBase: Long): Double = {
+      val t0 = System.nanoTime()
+      (0 until phaseBatches).foreach { i =>
+        val docs = (0 until docsPerBatch).map { j =>
+          val u = i.toLong * docsPerBatch + j
+          Doc(idBase + u, body(u))
+        }
+        val b0 = System.nanoTime()
+        stream.addData(docs)
+        query.processAllAvailable()
+        System.err.println(
+          f"# $phase batch $i%3d  ${(System.nanoTime() - b0) / 1e6}%8.1f ms")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // refresh first: the sink appends/compacts through a CLONED session,
+    // and this session's relation cache otherwise pins a stale (even
+    // empty) file index across the boundary swap
+    def physicalRows(): Long = {
+      spark.catalog.refreshTable(ledgerTable)
+      spark.table(ledgerTable).count()
+    }
+
+    val aS = emitCorpus("A", 0L)
+    val inPhaseCompactsA = compactDecisions(ledgerTable)
+    require(inPhaseCompactsA >= 1,
+      s"expected at least one in-phase compaction during phase A " +
+        s"(threshold $compactAfterFiles, ${phaseBatches}×≤$buckets appends); " +
+        "the soak is not exercising the crossing it exists for")
+    val physA = physicalRows()
+    require(physA >= corpus, // duplicates of stamps can't exist yet
+      s"phase A ledger holds $physA physical rows, expected >= $corpus")
+    System.err.println(f"# phase A done in $aS%.1f s " +
+      f"($inPhaseCompactsA compactions, $physA physical rows); " +
+      f"sleeping past the $windowS s window")
+    Thread.sleep((windowS + 15) * 1000L)
+
+    // the forced boundary compaction: every phase-A stamp has expired, so
+    // the rewrite must physically remove ALL of them while the bucket spec
+    // and catalog entry stay intact for phase B's appends
+    require(handle.maybeCompact(spark),
+      "boundary compaction did not run (file count under threshold?)")
+    val physBoundary = physicalRows()
+    require(physBoundary == 0L,
+      s"boundary compaction left $physBoundary physical rows; expected 0 " +
+        "(every phase-A stamp expired)")
+    System.err.println("# boundary compaction: ledger physically empty, spec intact")
+    // reset the decision registry so the post-boundary count is per-phase:
+    // the key embeds the pre-compaction file count, and B's appends replay
+    // A's file-count trajectory exactly — same-size compactions collapse
+    // onto one key across phases (observed: B's compaction vanished into
+    // A's). The registry is this soak JVM's own; clearing is safe.
+    graft.core.Decisions.clear()
+
+    val bT0 = System.nanoTime()
+    val bS = emitCorpus("B", 10_000_000L) // all expired → re-admit across the swap
+    val cS = emitCorpus("C", 20_000_000L) // all just re-stamped → drop
+    val bcS = (System.nanoTime() - bT0) / 1e9
+    query.stop()
+    require(bcS < windowS * 0.9,
+      f"INVALID RUN (not a dedup failure): phases B+C took $bcS%.1f s, " +
+        f"too close to the $windowS s window — raise SPARK_GRAFT_SOAK_WINDOW_S " +
+        "or shrink the corpus")
+
+    // final physical state: one fresh-stamped row per fingerprint at most
+    // one compaction behind (C appends nothing, B may leave uncompacted
+    // duplicates of NOTHING — every B fingerprint appended once)
+    val compactsAfterBoundary = compactDecisions(ledgerTable)
+    require(compactsAfterBoundary >= 1,
+      "no compaction ran after the expiry boundary (inside phases B/C)")
+    spark.catalog.refreshTable(ledgerTable)
+    val finalPhys = spark.table(ledgerTable)
+    val finalRows = finalPhys.count()
+    val distinctFps = finalPhys.select("fingerprint").distinct().count()
+    require(finalRows == corpus && distinctFps == corpus,
+      s"final ledger physical state: $finalRows rows / $distinctFps " +
+        s"distinct fingerprints, expected $corpus / $corpus")
+
+    val out = spark.read.parquet(s"$root/out")
+    val outCount = out.count()
+    val outDistinct = out.select(col("text")).distinct().count()
+    require(outCount == 2 * corpus && outDistinct == corpus,
+      s"re-admission across the compaction swap broken: $outCount rows / " +
+        s"$outDistinct distinct, expected ${2 * corpus} / $corpus")
+
+    println(Map(
+      "metric" -> "\"streaming_soak\"",
+      "mode" -> "\"retention_compaction\"",
+      "phase_batches" -> phaseBatches.toString,
+      "docs_per_batch" -> docsPerBatch.toString,
+      "corpus" -> corpus.toString,
+      "window_s" -> windowS.toString,
+      "compact_after_files" -> compactAfterFiles.toString,
+      "phase_a_s" -> f"$aS%.1f",
+      "phase_b_s" -> f"$bS%.1f",
+      "phase_c_s" -> f"$cS%.1f",
+      "compactions_phase_a" -> inPhaseCompactsA.toString,
+      "compactions_after_boundary" -> compactsAfterBoundary.toString,
+      "boundary_physical_rows" -> physBoundary.toString,
+      "final_physical_rows" -> finalRows.toString,
+      "readmitted_across_swap" -> (outCount - corpus).toString
+    ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+  }
+
+  /** Count of RAN ledger compactions recorded for `table` so far (the
+    * Decisions key embeds the pre-compaction file count, so distinct
+    * crossings at distinct sizes each leave a key; a repeat at the same
+    * size collapses — fine for the >= assertions here). */
+  private def compactDecisions(table: String): Int =
+    graft.core.Decisions.snapshot.count { case (k, v) =>
+      k.startsWith(s"ledger.compact($table") && v == "true"
+    }
 
   /** retention: three-phase bounded-window soak (see object scaladoc). */
   private def runRetention(spark: SparkSession, root: String,

@@ -380,6 +380,33 @@ class BucketedLedgerSpec extends SparkSpecBase {
     assert(l.fileCount(spark) <= 2)
   }
 
+  test("retention: a compaction that expires EVERY row reads as empty, not mid-swap, and keeps working") {
+    // the retention_compaction soak's boundary case: a fully-expired
+    // ledger rewrites to ZERO data files — before the EmptyMarker, the
+    // reader misread that stable empty listing as a torn swap and threw
+    val l = BucketedLedger("bl_retain_empty", buckets = 2,
+      keys = Seq("fingerprint"),
+      schemaDdl = "fingerprint BIGINT, seen_at TIMESTAMP",
+      compactAfterFiles = 2,
+      retention = Some("seen_at >= timestamp'2026-01-01 00:00:00'"))
+    dropLedger("bl_retain_empty")
+    l.append(Seq(
+      (1L, Timestamp.valueOf("2025-06-01 00:00:00")),
+      (2L, Timestamp.valueOf("2025-06-02 00:00:00"))).toDF("fingerprint", "seen_at"))
+    l.append(Seq(
+      (3L, Timestamp.valueOf("2025-06-03 00:00:00"))).toDF("fingerprint", "seen_at"))
+    assert(l.maybeCompact(spark), "appends should have tripped compaction")
+    assert(l.fileCount(spark) === 0, "every row expired — zero data files")
+    // the marked empty state must read as an EMPTY ledger (no throw, no
+    // rows), so every historical fingerprint correctly re-admits
+    assert(l.readOrEmpty(spark).count() === 0L)
+    // and the ledger stays fully functional: append after the empty swap
+    l.append(Seq(
+      (4L, Timestamp.valueOf("2026-06-01 00:00:00"))).toDF("fingerprint", "seen_at"))
+    assert(l.readOrEmpty(spark).select("fingerprint").as[Long].collect().toSet
+      === Set(4L))
+  }
+
   test("retention filter keeps the ledger-side join one-sided and bucketed") {
     val l = BucketedLedger("bl_retain_plan", buckets = 4,
       keys = Seq("fingerprint"),
