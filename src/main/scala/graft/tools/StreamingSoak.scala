@@ -66,6 +66,11 @@ import graft.streaming.StreamingEvents
  *    against the fresh stamps, and the final physical state holds exactly
  *    one fresh-stamped row per fingerprint with no pre-boundary stamp
  *    surviving.
+ *  - `sessionize`: the STATE-path soak — per-batch flatness of
+ *    flatMapGroupsWithState sessionization under timeout-bounded state,
+ *    with exact session-count/shape asserts (half the users close a
+ *    session every batch via successors; half carry ONE session in state
+ *    across the whole stream, emitted only by the sentinel flush).
  *
  * Broadcast joins are disabled for the session in every mode, so the
  * ledger side exercises the bucketed one-sided plan from batch 1 — the
@@ -79,7 +84,8 @@ import graft.streaming.StreamingEvents
  * being re-shuffled per batch. The file count must sawtooth under
  * `compactAfterFiles + buckets` and never trend.
  *
- * Env knobs: SPARK_GRAFT_SOAK_MODE (exact|neardup|retention|neardup_retention|retention_compaction),
+ * Env knobs: SPARK_GRAFT_SOAK_MODE (exact|neardup|retention|
+ * neardup_retention|retention_compaction|sessionize),
  * SPARK_GRAFT_SOAK_BATCHES (default 100), SPARK_GRAFT_SOAK_DOCS (per
  * batch, default 2000), SPARK_GRAFT_SOAK_DUP_RATE (default 0.3),
  * SPARK_GRAFT_SOAK_WINDOW_S (retention window seconds, default 60),
@@ -165,9 +171,98 @@ object StreamingSoak {
       case "retention_compaction" =>
         runRetentionCompaction(spark, root, ledgerTable, buckets,
           batches, docsPerBatch, windowS)
+      case "sessionize" =>
+        runSessionize(spark, root, batches, docsPerBatch)
       case other => sys.error(s"unknown SPARK_GRAFT_SOAK_MODE: $other")
     }
     spark.stop()
+  }
+
+  /** sessionize: the STATE-path soak — many batches through
+    * [[StreamingEvents.sessionize]] (flatMapGroupsWithState + event-time
+    * timeout), certifying that per-batch cost stays flat while state is
+    * BOUNDED by the timeout (a stateful op whose cost or state grew with
+    * stream history would trend), with exact final session counts.
+    *
+    * Corpus: `docsPerBatch` users, every batch advancing event time by
+    * 90 s (gap 60 s). FAST users (half) get events at (b·90, b·90+1) —
+    * the intra-batch pair merges (gap 1), the next batch's pair closes it
+    * (gap 89 > 60): exactly `batches` two-event sessions per user, closed
+    * by successors batch after batch. SLOW users (half) get events at
+    * (b·90, b·90+45) — every consecutive gap is 45 ≤ 60, so ONE session
+    * per user spans the entire stream, carried in state across all
+    * batches and emitted only by the final sentinel flush (far-future
+    * event, as in the sq5 replay; the sentinel's own session never
+    * emits). All users ride the same timeline, so the watermark
+    * (10 s delay) never drops a real event.
+    *
+    * Expected output, exact: batches·(users/2) fast sessions (n_events 2
+    * each) + users/2 slow sessions (n_events 2·batches each); total
+    * emitted events = every event emitted exactly once. */
+  private def runSessionize(spark: SparkSession, root: String,
+                            batches: Int, docsPerBatch: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val users = math.max(2, docsPerBatch / 2 * 2) // even
+    val fast = users / 2
+
+    val stream = MemoryStream[StreamingEvents.SessionEvent]
+    val q = StreamingEvents.sessionize(stream.toDS(), gapSeconds = 60,
+        watermark = "10 seconds")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").start()
+
+    def ts(ms: Long) = new java.sql.Timestamp(1735689600000L + ms)
+    val wallMs = ArrayBuffer[Double]()
+    (0 until batches).foreach { b =>
+      val base = b.toLong * 90000L
+      val events = (0 until users).flatMap { u =>
+        val second = if (u < fast) 1000L else 45000L
+        Seq(StreamingEvents.SessionEvent(u.toLong, ts(base), b.toLong * users * 2 + u * 2),
+          StreamingEvents.SessionEvent(u.toLong, ts(base + second), b.toLong * users * 2 + u * 2 + 1))
+      }
+      val t0 = System.nanoTime()
+      stream.addData(events)
+      q.processAllAvailable()
+      wallMs += (System.nanoTime() - t0) / 1e6
+      if (b % 10 == 0) System.err.println(f"# batch $b%3d  ${wallMs.last}%8.1f ms")
+    }
+    // sentinel flush: advances the watermark past every open session's
+    // timeout; its own session stays in state, never emitted
+    stream.addData(Seq(StreamingEvents.SessionEvent(-1L,
+      ts(batches.toLong * 90000L + 86400000L), -1L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(s"$root/out")
+    val n = out.count()
+    val expected = batches.toLong * fast + (users - fast)
+    require(n == expected, s"session count $n != expected $expected")
+    val byKind = out.groupBy(col("n_events")).count()
+      .as[(Int, Long)].collect().toMap
+    require(byKind.get(2).contains(batches.toLong * fast) &&
+      byKind.get(2 * batches).contains((users - fast).toLong) &&
+      byKind.size == 2,
+      s"session shapes wrong: $byKind (expected ${batches.toLong * fast} " +
+        s"two-event + ${users - fast} ${2 * batches}-event)")
+    require(out.filter(col("user_id") < 0).isEmpty,
+      "the sentinel's own session must never emit")
+
+    val dec = deciles(wallMs.toSeq)
+    println(Map(
+      "metric" -> "\"streaming_soak\"",
+      "mode" -> "\"sessionize\"",
+      "batches" -> batches.toString,
+      "users" -> users.toString,
+      "events_per_batch" -> (users * 2).toString,
+      "total_s" -> f"${wallMs.sum / 1000}%.1f",
+      "decile_median_ms" -> dec.map(d => f"$d%.1f").mkString("[", ",", "]"),
+      "last_over_first_decile" -> f"${dec.last / dec.head}%.3f",
+      "sessions" -> n.toString,
+      "open_sessions_flushed" -> (users - fast).toString
+    ).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
   }
 
   /** exact/neardup: growing ledger, `dupRate` exact-copy duplicates. */
