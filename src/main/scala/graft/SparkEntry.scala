@@ -1053,6 +1053,20 @@ object SparkEntry {
       train.withColumn("split", lit("train"))
         .unionByName(test.withColumn("split", lit("test")))
         .groupBy("split").agg(count(lit(1)).as("n"))
+    }),
+
+    // Deterministic STRATIFIED sampling (beyond reference; s10's seeded
+    // randomSplit is partitioning-dependent and snapshot-only-oracleable,
+    // THIS is fully cross-engine): membership = LCG hash of the row key
+    // under per-stratum thresholds, so the exact sample replays in DuckDB
+    // row for row. Rates: URGENT 20% / MEDIUM 50% / LOW 100%; HIGH and
+    // NOT-SPECIFIED strata dropped entirely. Pure codegen'd filter —
+    // no shuffle, no rand(), repeatable at any partitioning.
+    "s11_stratified_sample" -> ((s, dir) => {
+      Sampling.stratified(T(s, dir, "orders"), col("o_orderpriority"),
+          col("o_orderkey"), Map(
+            "1-URGENT" -> 0.2, "3-MEDIUM" -> 0.5, "5-LOW" -> 1.0))
+        .select("o_orderkey", "o_orderpriority")
     })
   )
 
@@ -1874,6 +1888,23 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       CAST(count(*) AS INT) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // the stratified sample's membership arithmetic, replayed exactly:
+    // hv = ((key mod 2^31)*1103515245 + 12345) mod 2^31, thresholds are
+    // the Scala-side (rate*2^31).toLong TRUNCATED literals (429496729 for
+    // 0.2 — a CAST(0.2*2147483648 AS BIGINT) would ROUND to ...730 and
+    // disagree on boundary rows)
+    "s11_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    ((o_orderkey % 2147483648) * 1103515245 + 12345) % 2147483648 AS hv
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority FROM h
+        |WHERE hv < CASE o_orderpriority
+        |  WHEN '1-URGENT' THEN 429496729
+        |  WHEN '3-MEDIUM' THEN 1073741824
+        |  WHEN '5-LOW' THEN 2147483648
+        |  ELSE -1 END""".stripMargin,
 
     // mm10 decodes snappy(text) back to text through the jar codec: the
     // expected features ARE mm2's byte folds of the original text — the

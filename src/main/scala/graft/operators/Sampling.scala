@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines (beyond reference —
+ * the reference's only sampling is a seeded `randomSplit`, SURVEY §2.1
+ * S10). At 100 TB the properties that matter are REPEATABILITY and
+ * PUSHDOWN, and `rand()`-based sampling has neither: the sample changes
+ * with partitioning/retries, and no other engine can reproduce it. These
+ * operators decide membership from the ROW KEY through a fixed integer
+ * mixer, so:
+ *
+ *  - the same row is in the same sample on every run, every engine, every
+ *    partitioning (a DuckDB oracle can replay the exact arithmetic);
+ *  - membership is a pure Column predicate — codegen'd, no shuffle, no
+ *    driver coordination, pushable below wide plans;
+ *  - rates compose: a stratum's sample at 2% is a SUBSET of the same
+ *    stratum's sample at 5% (membership is `h < rate·M` for a fixed
+ *    per-key h), so growing a training set never resamples history —
+ *    the property seeded `rand()` cannot give.
+ *
+ * The mixer is a 31-bit LCG step (`(key mod 2³¹)·1103515245 + 12345
+ * mod 2³¹`, the POSIX rand constants): the pre-fold keeps the multiply
+ * inside a 64-bit long for ANY long key, so ANSI-mode overflow checking
+ * (Spark 4 default) never trips, and the identical expression is exact
+ * integer arithmetic in any SQL engine. An LCG step is NOT crypto-grade
+ * mixing, but sampling
+ * needs only low correlation between key order and h — for sequential
+ * ids the low bits cycle while `h < rate·2³¹` reads the HIGH end, which
+ * the multiplier disperses.
+ */
+object Sampling {
+
+  private val M: Long = 1L << 31
+
+  /** The per-row sampling hash:
+    * `((key mod 2³¹) · 1103515245 + 12345) mod 2³¹`, non-negative. The
+    * key folds to 31 bits FIRST so the multiply stays below 2⁶² for any
+    * long key — no ANSI overflow at any scale (keys 2³¹ apart collide,
+    * which costs sampling nothing). */
+  def samplingHash(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(M)) * lit(1103515245L) + lit(12345L), lit(M))
+
+  /** Uniform deterministic sample: keep rows with `h(key) < rate · 2³¹`. */
+  def uniform(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    df.filter(samplingHash(key) < lit((rate * M).toLong))
+  }
+
+  /** Stratified deterministic sample: per-stratum rates over the same
+    * key hash — strata not named in `rates` are dropped entirely (a
+    * training-mix spec lists what it wants). The threshold lookup is a
+    * literal CASE chain, so the whole predicate stays inside whole-stage
+    * codegen and pushes down to the scan. */
+  def stratified(df: DataFrame, stratum: Column, key: Column,
+                 rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "stratified sampling needs at least one stratum rate")
+    rates.values.foreach(r =>
+      require(r >= 0 && r <= 1, s"rates must be in [0,1]: $rates"))
+    // deterministic CASE order (sorted) so plans and oracles match textually
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(-1L)) { case (acc, (s, r)) =>
+        when(stratum === lit(s), lit((r * M).toLong)).otherwise(acc)
+      }
+    df.filter(samplingHash(key) < threshold)
+  }
+}
