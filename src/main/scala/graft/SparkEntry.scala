@@ -9,7 +9,7 @@ import graft.dedup.{Dedup, MinHash, SimHash}
 import graft.functions.{TextFunctions => TF, TimeTokens, VectorFunctions => VF}
 import graft.multimodal.{CodecJarBuilder, Multimodal}
 import graft.operators._
-import graft.similarity.Knn
+import graft.similarity.{Knn, Quantization}
 import graft.streaming.StreamingEvents
 
 /**
@@ -1055,6 +1055,20 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
     }),
 
+    // int8 embedding quantization (beyond reference) — the 4x storage cut
+    // for 100 TB embedding corpora, driver-oracled through cross-engine-
+    // exact arithmetic: floats widen to double exactly, one fixed double
+    // expression shape under floor (identical IEEE semantics everywhere;
+    // round()'s halfway rule differs by engine and would flake), constant
+    // vectors quantize to zero codes instead of dividing by zero. q_sum
+    // is a pure-integer checksum over all 64 codes per vector.
+    "knn5_int8_quantization" -> ((s, dir) => {
+      Quantization.int8(T(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          size(col("q")).cast("long").as("dims"))
+    }),
+
     // Deterministic STRATIFIED sampling (beyond reference; s10's seeded
     // randomSplit is partitioning-dependent and snapshot-only-oracleable,
     // THIS is fully cross-engine): membership = LCG hash of the row key
@@ -1888,6 +1902,23 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       CAST(count(*) AS INT) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // the quantization codes replayed exactly in DuckDB: same widenings,
+    // same expression shape, same floor
+    "knn5_int8_quantization" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, mn, (mx - mn) / 255.0 AS sc FROM e)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding, x ->
+        |    CASE WHEN sc = 0 THEN 0
+        |         ELSE CAST(floor((CAST(x AS DOUBLE) - mn) / sc + 0.5) AS BIGINT)
+        |    END)) AS BIGINT) AS q_sum,
+        |  CAST(len(embedding) AS BIGINT) AS dims
+        |FROM s""".stripMargin,
 
     // the stratified sample's membership arithmetic, replayed exactly:
     // hv = ((key mod 2^31)*1103515245 + 12345) mod 2^31, thresholds are
