@@ -43,6 +43,28 @@ class QuantizationSpec extends SparkSpecBase {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("quantized-space ANN quality: exact top-3 overlap stays high on real embeddings") {
+    // search entirely in DEQUANTIZED space and compare the retrieved
+    // (query, neighbor) pairs against exact float search — the measured
+    // form of "int8 cuts 4x storage at negligible retrieval cost". The
+    // corpus is the structureless uniform one (near-tie gaps, the WORST
+    // case for any approximation — BENCH_NOTES "Recall evidence"), so
+    // this floor is conservative.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = Quantization.int8(emb, "embedding")
+      .select(col("vec_id"),
+        Quantization.dequantize(col("q"), col("q_min"), col("q_scale"))
+          .cast("array<float>").as("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Knn.bruteForceTopK(df, df, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(emb.select("vec_id", "embedding"))
+    val quant = pairs(deq)
+    val overlap = (exact & quant).size.toDouble / exact.size
+    info(f"quantized-space top-3 overlap: $overlap%.3f over ${exact.size} pairs")
+    assert(overlap >= 0.95, f"overlap $overlap%.3f (measured 0.989 when pinned)")
+  }
+
   test("real embeddings round-trip: every code in range, checksum stable across runs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val run = () => Quantization.int8(emb, "embedding")
