@@ -1055,6 +1055,19 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
     }),
 
+    // Deterministic per-group cap (beyond reference) — the source-
+    // balancing primitive of LLM data mixes: at most 500 orders per
+    // priority, the survivors chosen by the sampling hash so the cap is a
+    // uniform repeatable sample of the group. Plans as WindowGroupLimit:
+    // map-side partial top-k per group BEFORE the exchange (asserted in
+    // SamplingSpec), so at 100 TB the shuffle carries O(groups*k) per
+    // task, not the corpus.
+    "s12_capped_per_group" -> ((s, dir) => {
+      Sampling.capPerGroup(T(s, dir, "orders"), col("o_orderpriority"),
+          col("o_orderkey"), k = 500)
+        .select("o_orderkey", "o_orderpriority")
+    }),
+
     // int8 embedding quantization (beyond reference) — the 4x storage cut
     // for 100 TB embedding corpora, driver-oracled through cross-engine-
     // exact arithmetic: floats widen to double exactly, one fixed double
@@ -1902,6 +1915,19 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       CAST(count(*) AS INT) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // the per-group cap replayed exactly: same hash, same tie-break
+    "s12_capped_per_group" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    ((o_orderkey % 2147483648) * 1103515245 + 12345) % 2147483648 AS hv
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY hv, o_orderkey) AS rn
+        |  FROM h)
+        |SELECT o_orderkey, o_orderpriority FROM r WHERE rn <= 500""".stripMargin,
 
     // the quantization codes replayed exactly in DuckDB: same widenings,
     // same expression shape, same floor

@@ -49,6 +49,25 @@ object Sampling {
     df.filter(samplingHash(key) < lit((rate * M).toLong))
   }
 
+  /** Deterministic per-group cap — "at most k rows per group", the source-
+    * balancing primitive of LLM data mixes (cap each domain/language/shard
+    * so no source dominates). WHICH k rows survive is decided by the
+    * sampling hash (ties by key), so the cap is a uniform deterministic
+    * sample of the group, repeatable across runs and engines — `limit`
+    * inside a group would be partitioning luck. Catalyst plans the
+    * rank-filter as WindowGroupLimit: each map task pre-prunes to its
+    * local top-k per group BEFORE the exchange, so at 100 TB the shuffle
+    * carries O(groups · k) per task, not the raw corpus (same plan
+    * property the W12 audit enforces). */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(samplingHash(key), key)
+    df.withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= k)
+      .drop("__cap_rn")
+  }
+
   /** Stratified deterministic sample: per-stratum rates over the same
     * key hash — strata not named in `rates` are dropped entirely (a
     * training-mix spec lists what it wants). The threshold lookup is a

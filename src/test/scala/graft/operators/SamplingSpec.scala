@@ -39,6 +39,27 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(out("b") - 833L) < 150, s"got ${out("b")}") // ≈ 3333 · 0.25
   }
 
+  test("capPerGroup: exact cap, deterministic survivors, uniform within the group") {
+    val out1 = Sampling.capPerGroup(rows, col("stratum"), col("id"), 100)
+    val out2 = Sampling.capPerGroup(rows, col("stratum"), col("id"), 100)
+    val ids1 = out1.select("id").as[Long].collect().toSet
+    assert(ids1 === out2.select("id").as[Long].collect().toSet) // repeatable
+    val counts = out1.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 100L), counts.toString)
+    // survivors are hash-chosen, not "first 100 ids": ids span the range
+    val aIds = out1.filter(col("stratum") === "a").select("id").as[Long].collect()
+    assert(aIds.max > 8000L && aIds.min < 2000L, s"range ${aIds.min}..${aIds.max}")
+    // groups smaller than the cap pass through whole
+    val tiny = Sampling.capPerGroup(rows.filter(col("id") < 9), col("stratum"), col("id"), 100)
+    assert(tiny.count() === 9L)
+  }
+
+  test("capPerGroup plans as WindowGroupLimit: map-side partial top-k before the exchange") {
+    val plan = Sampling.capPerGroup(rows, col("stratum"), col("id"), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("the sampling predicate is a pure filter: no shuffle, no exchange") {
     val plan = Sampling.stratified(rows, col("stratum"), col("id"),
       Map("a" -> 0.5)).queryExecution.executedPlan.toString
