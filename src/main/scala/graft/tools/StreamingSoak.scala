@@ -17,7 +17,7 @@ import graft.streaming.StreamingEvents
  * (BucketedLedgerSpec pins the one-sided join SHAPE; this measures the
  * TIME).
  *
- * Three modes (SPARK_GRAFT_SOAK_MODE):
+ * Six modes (SPARK_GRAFT_SOAK_MODE):
  *
  *  - `exact` (default): drives `batches` deterministic micro-batches
  *    through [[StreamingEvents.exactDedupSink]], with `dupRate` of each
