@@ -1094,6 +1094,64 @@ object SparkEntry {
           col("o_orderkey"), Map(
             "1-URGENT" -> 0.2, "3-MEDIUM" -> 0.5, "5-LOW" -> 1.0))
         .select("o_orderkey", "o_orderpriority")
+    }),
+
+    // Benchmark decontamination (beyond reference): training docs sharing
+    // a word 4-gram with the deterministic eval slice (doc_id % 41 = 0 —
+    // the benchmark stand-in). The eval shingle set is BROADCAST, so the
+    // corpus side streams scan → explode → broadcast join with no shuffle;
+    // only matches reach the count-distinct exchange. 4-grams because this
+    // corpus's vocabulary makes them rare-but-present (real pipelines use
+    // 8–13; the operator takes n).
+    "decon1_benchmark_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.dedup.Decontaminate.overlap(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+    // GPT-style sequence-packing coordinates (beyond reference): shard the
+    // corpus by doc_id mod 32, concatenate each shard's token stream in
+    // doc_id order, cut every 512 tokens; emit each doc's (first_chunk,
+    // last_chunk, chunk_offset). Pure integer window cumsum — one exchange
+    // on the shard id + per-shard sort, the minimum deterministic packing
+    // needs — replayed exactly by the oracle.
+    "pack1_token_chunks" -> ((s, dir) => {
+      Packing.tokenChunks(T(s, dir, "documents"), col("doc_id"),
+        TF.tokenCount(col("text")), shards = 32, budget = 512)
+    }),
+
+    // Gopher-style repetition signals (beyond reference): top-word
+    // fraction and duplicate-2-gram fraction per doc, computed per-row
+    // inside the scan (no explode→groupBy shuffle of the tokenized
+    // corpus). Tokens are let-bound once per row and shared by all three
+    // outputs.
+    "text6_repetition" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.Exprs.let(TF.tokens(col("text"))) { ts =>
+          struct(
+            size(ts).cast("long").as("n_words"),
+            when(size(ts) === 0, lit(0.0))
+              .otherwise(TF.topTokenCount(ts).cast("double") / size(ts))
+              .as("top_word_frac"),
+            TF.dupNgramFraction(ts, 2).as("dup_2gram_frac"))
+        }.as("r"))
+        .select(col("doc_id"), col("r.n_words").as("n_words"),
+          col("r.top_word_frac").as("top_word_frac"),
+          col("r.dup_2gram_frac").as("dup_2gram_frac"))
+    }),
+
+    // Temperature-based language rebalancing (beyond reference): sample
+    // each lang at (n_min/n_lang)^0.5 so kept counts ∝ n^0.5 — the
+    // multilingual-LLM mixing rule. Counts partial-aggregate, the 5-row
+    // rate table broadcasts back, membership is the LCG hash — the corpus
+    // never shuffles and DuckDB replays the exact kept set (sqrt is
+    // correctly rounded; pow would not be).
+    "s13_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(T(s, dir, "documents"), col("lang"),
+          col("doc_id"), alpha = 0.5)
+        .select("doc_id", "lang")
     })
   )
 
@@ -1985,6 +2043,77 @@ object SparkEntry {
         | round(COALESCE(list_sum(list_transform(range(0, n),
         |   i -> CAST('0x' || substring(h, 2*i + 1, 2) AS INT))), 0), 2) AS feature_sum,
         | CAST(8 AS BIGINT) AS dims
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // decontamination replayed exactly: same tokenizer mirror, same
+    // 4-gram windows (range(1, len-2) ↔ sequence(0, size-4)), same
+    // eval slice, distinct shared shingles per surviving train doc
+    "decon1_benchmark_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(CASE WHEN len(w) < 4 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(w) - 2),
+        |           i -> array_to_string(w[i:i+3], ' ')) END) AS s
+        |  FROM t),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0)
+        |SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE sh.doc_id % 41 <> 0
+        |GROUP BY sh.doc_id""".stripMargin,
+
+    // the packing cumsum replayed exactly: same shard, same order, same
+    // integer chunk arithmetic
+    "pack1_token_chunks" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM t)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST(floor((run - n_tok) / 512.0) AS BIGINT) AS first_chunk,
+        |  CAST(CASE WHEN n_tok = 0 THEN floor((run - n_tok) / 512.0)
+        |       ELSE floor((run - 1) / 512.0) END AS BIGINT) AS last_chunk,
+        |  (run - n_tok) % 512 AS chunk_offset
+        |FROM r""".stripMargin,
+
+    // repetition signals replayed exactly: same tokenizer mirror, same
+    // per-doc occurrence counting, same IEEE divisions (no rounding —
+    // identical operands give identical doubles)
+    "text6_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(w)),
+        |           i -> array_to_string(w[i:i+1], ' ')) END AS g2
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(w),
+        |           x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w)
+        |  END AS top_word_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |  END AS dup_2gram_frac
+        |FROM g""".stripMargin,
+
+    // the temperature thresholds replayed exactly: sqrt is correctly
+    // rounded in IEEE 754, so floor(sqrt(n_min/n)·2³¹) is bit-identical
+    // across engines; membership is the shared LCG arithmetic
+    "s13_temperature_mix" ->
+      """WITH c AS (SELECT lang AS grp, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS n_min FROM c),
+        |r AS (SELECT grp,
+        |  CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * 2147483648) AS BIGINT) AS thr
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.grp
+        |WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 < r.thr""".stripMargin
   )
 }

@@ -148,6 +148,27 @@ object TextFunctions {
         transform(sequence(lit(1), length(t) - n + 1), i => t.substr(i, lit(n))))
     }
 
+  /** Occurrence count of the most frequent token — the numerator of the
+    * Gopher-style "top word fraction" repetition signal. Per-row compute
+    * over the token array (O(distinct·len) inside one codegen'd
+    * projection), deliberately NOT an explode→groupBy: at 100 TB the
+    * explode shuffles the whole tokenized corpus to count within single
+    * rows, while this form never leaves the scan task. `ts` must be a
+    * cheap reference (bound column or [[Exprs.let]] binding). */
+  def topTokenCount(ts: Column): Column =
+    when(size(ts) === 0, lit(0)).otherwise(
+      array_max(transform(array_distinct(ts), x => size(filter(ts, y => y === x)))))
+
+  /** Fraction of word `n`-gram occurrences that are repeats of an n-gram
+    * already seen in the same document (Gopher's duplicate-n-gram filter
+    * family): `(total − distinct) / total`, 0 for docs shorter than `n`
+    * tokens. Same per-row, no-shuffle shape as [[topTokenCount]]. */
+  def dupNgramFraction(ts: Column, n: Int): Column =
+    Exprs.let(shinglesFromTokens(ts, n)) { g =>
+      when(size(g) === 0, lit(0.0))
+        .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g))
+    }
+
   /** 64-bit content fingerprint of whitespace-normalized text (exact dedup key). */
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(text)))

@@ -68,6 +68,40 @@ object Sampling {
       .drop("__cap_rn")
   }
 
+  /**
+   * Temperature-based group rebalancing — the multilingual-LLM mixing rule
+   * (sample group g at a rate making expected kept counts ∝ n_g^alpha, so
+   * dominant languages/domains shrink and small ones keep everything):
+   * `rate_g = (n_min / n_g)^(1−alpha)`, the smallest group at rate 1.
+   * `alpha = 1` keeps the natural distribution, `alpha = 0` fully
+   * balances. Membership reuses [[samplingHash]], so the kept set is
+   * repeatable across runs/engines and NESTS as alpha falls (lower alpha
+   * keeps a subset of each group's higher-alpha sample).
+   *
+   * Plan shape at 100 TB: one tiny partial-aggregated count per group, a
+   * BROADCAST of the |groups|-row rate table back onto the corpus, and a
+   * codegen'd filter — the corpus itself never shuffles.
+   *
+   * Cross-engine exactness: thresholds pass through `floor(rate · 2³¹)`.
+   * For `alpha = 0.5` the rate is computed with `sqrt` — correctly
+   * rounded in IEEE 754, so an oracle replays thresholds bit-exactly.
+   * Other alphas use `pow`, which libm implementations round differently
+   * in the last ulp; boundary rows can then differ across engines (the
+   * operator is still self-deterministic).
+   */
+  def temperatureMix(df: DataFrame, group: Column, key: Column, alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(group.as("__grp")).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("__n")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val thresholds = counts.crossJoin(broadcast(minN))
+      .select(col("__grp"), floor(rate * M).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), group === col("__grp"))
+      .filter(samplingHash(key) < col("__thr"))
+      .drop("__grp", "__thr")
+  }
+
   /** Stratified deterministic sample: per-stratum rates over the same
     * key hash — strata not named in `rates` are dropped entirely (a
     * training-mix spec lists what it wants). The threshold lookup is a

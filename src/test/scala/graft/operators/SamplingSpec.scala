@@ -65,4 +65,39 @@ class SamplingSpec extends SparkSpecBase {
       Map("a" -> 0.5)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // 3:1 skew between two groups for the temperature tests
+  private lazy val skewed = (0L until 8000L).map(i =>
+    (i, if (i % 4 == 0) "small" else "big")).toDF("id", "grp")
+
+  test("temperatureMix: alpha=1 keeps everything, alpha=0 balances, 0.5 is sqrt") {
+    assert(Sampling.temperatureMix(skewed, col("grp"), col("id"), 1.0).count() === 8000L)
+    val bal = Sampling.temperatureMix(skewed, col("grp"), col("id"), 0.0)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(bal("small") === 2000L) // smallest group keeps rate 1
+    // big sampled at 2000/6000: binomial sd ≈ 36, assert ±5 sd
+    assert(math.abs(bal("big") - 2000L) < 180, bal.toString)
+    val sq = Sampling.temperatureMix(skewed, col("grp"), col("id"), 0.5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    // rate_big = sqrt(2000/6000) ≈ 0.577 → ≈ 3464 kept
+    assert(math.abs(sq("big") - 3464L) < 220, sq.toString)
+  }
+
+  test("temperatureMix: deterministic, and lower alpha keeps a nested subset") {
+    val a = Sampling.temperatureMix(skewed, col("grp"), col("id"), 0.5)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(skewed, col("grp"), col("id"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    val flat = Sampling.temperatureMix(skewed, col("grp"), col("id"), 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(flat.subsetOf(a), "alpha=0 sample must nest inside alpha=0.5")
+  }
+
+  test("temperatureMix: the corpus joins the rate table by broadcast, never shuffles") {
+    val plan = Sampling.temperatureMix(skewed, col("grp"), col("id"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
