@@ -1152,6 +1152,33 @@ object SparkEntry {
       Sampling.temperatureMix(T(s, dir, "documents"), col("lang"),
           col("doc_id"), alpha = 0.5)
         .select("doc_id", "lang")
+    }),
+
+    // Leakage-free train/test split (beyond reference): split membership
+    // hashes the near-dup CLUSTER id (dedup4's connected components), so
+    // near-duplicates never straddle train/test — the leakage a naive
+    // random split injects. Singletons split by their own id (component
+    // labels are min member ids, so the key spaces agree). 80% train.
+    "s14_leakage_free_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = MinHash.nearDuplicates(docs, "doc_id", col("text"),
+        threshold = 0.5, maxBucketSize = Some(64), exactStar = true)
+      val comps = Dedup.connectedComponents(pairs, "left_id", "right_id")
+      Sampling.splitByCluster(docs, col("doc_id"), comps,
+          "node", "component", trainRate = 0.8)
+        .select("doc_id", "split_key", "split")
+    }),
+
+    // Corpus-relative rare-word fraction (beyond reference): tokens whose
+    // document frequency falls below the corpus median are "rare"; high
+    // fractions flag gibberish/noise. Two corpus passes, nothing
+    // quadratic: df partial-aggregates to a vocab-keyed exchange, the
+    // Zipf-HEAD common set broadcasts back (the rare tail is the
+    // unbounded side — never broadcast), and the only corpus-keyed
+    // exchange is the per-doc count agg.
+    "text7_rare_word_frac" -> ((s, dir) => {
+      VocabStats.rareTokenStats(T(s, dir, "documents"), col("doc_id"),
+        col("text"), quantile = 0.5, maxCommon = 4096)
     })
   )
 
@@ -2107,6 +2134,62 @@ object SparkEntry {
     // the temperature thresholds replayed exactly: sqrt is correctly
     // rounded in IEEE 754, so floor(sqrt(n_min/n)·2³¹) is bit-identical
     // across engines; membership is the shared LCG arithmetic
+    // the leakage-free split replayed exactly: dedup4's recursive-CTE
+    // components (same brute-force pair space), singletons coalesced to
+    // their own id, the LCG split threshold the Scala-side TRUNCATED
+    // (0.8·2³¹).toLong literal
+    "s14_leakage_free_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (
+        |  SELECT left_id AS a, right_id AS b FROM pairs
+        |  UNION SELECT right_id, left_id FROM pairs),
+        |reach(node, m) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m),
+        |comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node)
+        |SELECT d.doc_id,
+        |  COALESCE(c.component, d.doc_id) AS split_key,
+        |  CASE WHEN ((COALESCE(c.component, d.doc_id) % 2147483648)
+        |             * 1103515245 + 12345) % 2147483648 < 1717986918
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+
+    // the rare-word pipeline replayed exactly: same tokenizer mirror,
+    // same df counting, same interpolated median, same capped common set
+    // (total order), same left-join occurrence counting
+    "text7_rare_word_frac" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM t),
+        |dfx AS (SELECT token, count(*) AS df FROM e GROUP BY token),
+        |med AS (SELECT median(df) AS q FROM dfx),
+        |common AS (SELECT token FROM (
+        |    SELECT token, row_number() OVER (ORDER BY df DESC, token) AS rn
+        |    FROM dfx, med WHERE df >= q)
+        |  WHERE rn <= 4096),
+        |occ AS (SELECT doc_id, unnest(w) AS token FROM t),
+        |j AS (SELECT o.doc_id, c.token AS ctok
+        |      FROM occ o LEFT JOIN common c USING (token))
+        |SELECT doc_id,
+        |  count(*) AS n_tok,
+        |  count(*) - count(ctok) AS n_rare,
+        |  CAST(count(*) - count(ctok) AS DOUBLE) / count(*) AS rare_frac
+        |FROM j GROUP BY doc_id""".stripMargin,
+
     "s13_temperature_mix" ->
       """WITH c AS (SELECT lang AS grp, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS n_min FROM c),

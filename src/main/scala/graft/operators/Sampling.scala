@@ -102,6 +102,37 @@ object Sampling {
       .drop("__grp", "__thr")
   }
 
+  /**
+   * Leakage-free train/test split: membership is decided by the hash of
+   * the row's NEAR-DUP CLUSTER id, not its own key, so near-duplicate
+   * documents can never straddle the split — the leakage a naive random
+   * split injects (a test doc whose near-copy sat in training scores as
+   * memorization, not generalization). `clusters` is a
+   * `(nodeCol, componentCol)` labeling as produced by
+   * [[graft.dedup.Dedup.connectedComponents]]; rows absent from it are
+   * singletons and split by their own key (component labels are minimum
+   * member keys, so the two key spaces agree).
+   *
+   * Plan shape at 100 TB: one equi-join of the corpus against the
+   * cluster labeling on the row key — co-partitionable, AQE broadcasts
+   * it when the dup set is small — then the pure LCG filter. Same
+   * nesting property as [[uniform]]: growing `trainRate` only moves
+   * whole clusters from test to train.
+   */
+  def splitByCluster(df: DataFrame, key: Column, clusters: DataFrame,
+                     nodeCol: String, componentCol: String,
+                     trainRate: Double): DataFrame = {
+    require(trainRate >= 0 && trainRate <= 1, s"trainRate must be in [0,1]: $trainRate")
+    val labels = clusters.select(col(nodeCol).as("__node"),
+      col(componentCol).as("__component"))
+    df.join(labels, key === col("__node"), "left")
+      .withColumn("split_key", coalesce(col("__component"), key))
+      .withColumn("split",
+        when(samplingHash(col("split_key")) < lit((trainRate * M).toLong), "train")
+          .otherwise("test"))
+      .drop("__node", "__component")
+  }
+
   /** Stratified deterministic sample: per-stratum rates over the same
     * key hash — strata not named in `rates` are dropped entirely (a
     * training-mix spec lists what it wants). The threshold lookup is a

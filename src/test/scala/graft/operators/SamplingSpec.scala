@@ -94,6 +94,38 @@ class SamplingSpec extends SparkSpecBase {
     assert(flat.subsetOf(a), "alpha=0 sample must nest inside alpha=0.5")
   }
 
+  test("splitByCluster: cluster members land on one side; singletons split by their id") {
+    // clusters: {0,1,2} labeled 0, {10,11} labeled 10; 3..9 singletons
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("node", "component")
+    val docs = (0L until 12L).toDF("id")
+    val out = Sampling.splitByCluster(docs, col("id"), clusters,
+        "node", "component", trainRate = 0.8)
+      .select("id", "split_key", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size === 12)
+    // whole clusters move together
+    assert(Set(out(0L), out(1L), out(2L)).size === 1)
+    assert(out(10L) === out(11L))
+    // cluster members split by the COMPONENT's hash, singletons by their own
+    def side(k: Long) =
+      if (((k % 2147483648L) * 1103515245L + 12345L) % 2147483648L <
+          (0.8 * (1L << 31)).toLong) "train" else "test"
+    assert(out(2L)._2 === side(0L))
+    assert(out(7L) === ((7L, side(7L))))
+  }
+
+  test("splitByCluster: growing trainRate only moves whole clusters into train") {
+    val clusters = Seq((0L, 0L), (1L, 0L)).toDF("node", "component")
+    val docs = (0L until 2000L).toDF("id")
+    def trainSet(rate: Double) =
+      Sampling.splitByCluster(docs, col("id"), clusters, "node", "component", rate)
+        .filter(col("split") === "train").select("id").as[Long].collect().toSet
+    val half = trainSet(0.5)
+    val most = trainSet(0.9)
+    assert(half.subsetOf(most))
+  }
+
   test("temperatureMix: the corpus joins the rate table by broadcast, never shuffles") {
     val plan = Sampling.temperatureMix(skewed, col("grp"), col("id"), 0.5)
       .queryExecution.executedPlan.toString
