@@ -402,6 +402,17 @@ object Knn {
   }
 
   /** Approximate top-k via LSH candidates (recall grows with planes↓ / tables↑).
+    *
+    * `tables` is THE recall knob once multi-probe is already at the full
+    * Hamming-1 ball (the default): measured at sf0.1 on the structureless
+    * corpus (2000 queries, `graft.tools.Recall`), recall@3 is 0.706 /
+    * 0.914 / 0.992 at tables = 4 / 8 / 16 with quality gap 1.1e-2 /
+    * 2.3e-3 / 1.7e-4 (BENCH_NOTES "Recall vs tables", r15). Cost scales
+    * LINEARLY with tables at scale — index rows, candidate pairs and the
+    * candidate exchange all multiply — so the default stays 4 (the
+    * measured sf100 evidence is at 4) and recall-critical callers buy
+    * tables consciously.
+    *
     * With `maxBucketSize` set, over-cap buckets degrade to bounded chunk
     * pairs (see [[guardedCandidatePairs]] — every member of a saturated
     * bucket keeps ~chunk-width same-bucket candidates per table) and each
