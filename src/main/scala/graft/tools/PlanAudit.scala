@@ -78,7 +78,31 @@ object PlanAudit {
         "no interpreted lambda kernel" -> "!aggregate\\(zip_with")),
       Check("mm1_media_meta_stats", Seq(
         "payload-free scan (no text col read is impossible here since meta\n" +
-          "derives from text; real media tables scan meta only)" -> "ReadSchema")))
+          "derives from text; real media tables scan meta only)" -> "ReadSchema")),
+      // the corpus side must reach the eval-shingle join by broadcast —
+      // a sort-merge join here would shuffle the exploded 100 TB stream
+      Check("decon1_benchmark_overlap", Seq(
+        "eval shingles broadcast onto the corpus stream" -> "BroadcastHashJoin",
+        "corpus stream never sort-merges" -> "!SortMergeJoin")),
+      // deterministic packing needs exactly one data exchange (the shard
+      // hash); anything more means the cumsum re-shuffled
+      Check("pack1_token_chunks", Seq(
+        "per-shard window cumsum" -> "Window",
+        "exactly one shard-hash exchange" -> "=1:\\(\\d+\\) Exchange")),
+      // per-row repetition signals must stay inside the scan
+      Check("text6_repetition", Seq(
+        "no exchange: per-row compute only" -> "!Exchange")),
+      // the rate table joins back by broadcast; the corpus never shuffles
+      Check("s13_temperature_mix", Seq(
+        "rate table broadcast" -> "BroadcastHashJoin",
+        "no sort-merge join" -> "!SortMergeJoin",
+        "map-side partial counts" -> "partial_count")),
+      // common-set membership is a broadcast join over the occurrence
+      // stream; the only corpus-keyed exchange is the per-doc count agg
+      Check("text7_rare_word_frac", Seq(
+        "common set broadcast onto occurrences" -> "BroadcastHashJoin",
+        "occurrence stream never sort-merges" -> "!SortMergeJoin",
+        "map-side partial per-doc counts" -> "partial_count")))
 
   def plan(spark: org.apache.spark.sql.SparkSession, dir: String, query: String): String =
     graft.SparkEntry.queries(query)(spark, dir)
