@@ -1169,6 +1169,31 @@ object SparkEntry {
         .select("doc_id", "split_key", "split")
     }),
 
+    // PII redaction (beyond reference): email/IPv4 counts + the scrubbed
+    // text's md5 over a deterministically PII-seeded corpus (same id
+    // arithmetic renders identical strings in Spark and DuckDB — the mm/sq
+    // corpus pattern). Patterns are the RE2-compatible subset, so both
+    // engines match identically; the scrub is a codegen'd regexp_replace
+    // chain — per-row, no shuffle.
+    "text8_pii_scrub" -> ((s, dir) => {
+      val tail1 = when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example")))
+        .otherwise(lit(""))
+      val tail2 = when(col("doc_id") % 5 === 0,
+        concat(lit(" from "), (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+          ((col("doc_id") * 13) % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string")))
+        .otherwise(lit(""))
+      T(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), tail1, tail2).as("__pii"))
+        .select(col("doc_id"),
+          TF.emailCount(col("__pii")).cast("long").as("n_emails"),
+          TF.ipv4Count(col("__pii")).cast("long").as("n_ips"),
+          md5(TF.scrubPii(col("__pii"))).as("scrub_md5"))
+    }),
+
     // Corpus-relative rare-word fraction (beyond reference): tokens whose
     // document frequency falls below the corpus median are "rare"; high
     // fractions flag gibberish/noise. Two corpus passes, nothing
@@ -2165,6 +2190,28 @@ object SparkEntry {
         |             * 1103515245 + 12345) % 2147483648 < 1717986918
         |       THEN 'train' ELSE 'test' END AS split
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+
+    // the PII pipeline replayed exactly: same corpus-seeding arithmetic,
+    // same RE2-subset patterns (leftmost-first, greedy — identical in
+    // Java regex and RE2), same IP-then-email scrub order; DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "text8_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' from ' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |       || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+        |       || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(s,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g')) AS scrub_md5
+        |FROM p""".stripMargin,
 
     // the rare-word pipeline replayed exactly: same tokenizer mirror,
     // same df counting, same interpolated median, same capped common set

@@ -169,6 +169,29 @@ object TextFunctions {
         .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g))
     }
 
+  /** PII patterns — a pragmatic regex subset chosen to mean the same
+    * thing in Java regex (Spark) and RE2 (DuckDB, re2j): character
+    * classes, bounded repetition and literal dots only — no backrefs, no
+    * lookaround (RE2 has neither). Greedy in both engines. */
+  val EmailPattern = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Occurrences of each PII class in raw text (pre-scrub counts — the
+    * audit numbers a redaction report carries). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+
+  /** Redact PII in place: IPv4 first (an email's host part can never
+    * produce a dotted quad AFTER the address is tokenized, but a dotted
+    * quad could sit inside a larger address-like string — replacing IPs
+    * first makes the composition order-insensitive for disjoint matches
+    * and DOCUMENTED for overlapping ones), then emails. Pure codegen'd
+    * `regexp_replace` chain — per-row, no shuffle, linear over 100 TB. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, Ipv4Pattern, "<IP>"),
+      EmailPattern, "<EMAIL>")
+
   /** 64-bit content fingerprint of whitespace-normalized text (exact dedup key). */
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(text)))
