@@ -541,6 +541,17 @@ object Knn {
    * bounded sample, not the corpus — while the final cell assignment still
    * covers every vector (inherent to IVF). Pass an explicit `nCells` to
    * pin the historical behavior (train on ALL vectors, no sampling).
+   *
+   * `nProbe` is the recall knob, with cost linear in probed cells.
+   * Measured at sf0.1 on the STRUCTURELESS corpus (the worst case — cells
+   * carry no semantic locality, so recall can only come from coverage):
+   * recall@3 0.252 / 0.366 / 0.518 / 0.699 at nProbe 2 / 4 / 8 / 16,
+   * i.e. roughly proportional to the probed-cell fraction (BENCH_NOTES
+   * "IVF recall vs nProbe", r15; `SPARK_GRAFT_RECALL_NPROBE` reproduces).
+   * On corpora with real cluster structure (the sf1/sf10 replica tables)
+   * recall is already 1.0 at the default nProbe = 2 — IVF's win condition
+   * is clustered data; on structureless data prefer [[lshTopK]], whose
+   * Hamming-1 probing reads the geometry directly.
    */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               nCells: Int = 0, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {

@@ -108,7 +108,8 @@ object Recall {
   def measure(spark: SparkSession, sfDir: String,
               queryTarget: Int = 2000,
               fixedCounterfactual: Boolean = false,
-              probes: Int = -1, tables: Int = 4): Seq[(String, Double)] = {
+              probes: Int = -1, tables: Int = 4,
+              nProbe: Int = 2): Seq[(String, Double)] = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -139,7 +140,7 @@ object Recall {
     knn2Out.unpersist()
     val knn3 = annRecallAtK(
       toSample(Knn.ivfTopK(emb, "vec_id", "embedding", k = 3,
-        nProbe = 2, kmeansIters = 2)), truth)
+        nProbe = nProbe, kmeansIters = 2)), truth)
     // counterfactual: the round-6 fixed-plane trap (planes pinned at the old
     // default 10 while n grows — average bucket outgrows the cap and the
     // guard drops most of the corpus). Measured beside auto so "auto-sizing
@@ -181,6 +182,7 @@ object Recall {
     val fixed = sys.env.get("SPARK_GRAFT_RECALL_FIXED").exists(v => v == "1" || v == "true")
     val probes = sys.env.get("SPARK_GRAFT_RECALL_PROBES").map(_.toInt).getOrElse(-1)
     val tables = sys.env.get("SPARK_GRAFT_RECALL_TABLES").map(_.toInt).getOrElse(4)
+    val nProbe = sys.env.get("SPARK_GRAFT_RECALL_NPROBE").map(_.toInt).getOrElse(2)
     val spark = graft.core.GraftSession.withDefaults(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -190,7 +192,7 @@ object Recall {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val m = measure(spark, sfDir, target, fixedCounterfactual = fixed,
-      probes = probes, tables = tables)
+      probes = probes, tables = tables, nProbe = nProbe)
     val secs = (System.nanoTime() - t0) / 1e9
     val fields = m.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"recall","sf":"$sfDir",$fields,"harness_sec":$secs}""")
