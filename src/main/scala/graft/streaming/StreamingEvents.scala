@@ -133,20 +133,33 @@ object StreamingEvents {
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val timing = sys.env.get("SPARK_GRAFT_REPLAY_TIMING").exists(v => v == "1" || v == "true")
+        def mark[A](what: String)(body: => A): A =
+          if (!timing) body
+          else {
+            val t0 = System.nanoTime()
+            val r = body
+            System.err.println(f"[batch-timing] exactDedup b=$batchId $what ${(System.nanoTime() - t0) / 1e9}%.3f s")
+            r
+          }
         clock.foreach(c => nowCell.set(c(batchId)))
         val s = batch.sparkSession
         val fresh = exactDedupBatch(batch, textCol, keepOrder, ledger)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        fresh.drop("dup_group", "dup_rank", "is_dup")
-          .write.mode("append").parquet(outPath)
+        mark("outWrite") {
+          fresh.drop("dup_group", "dup_rank", "is_dup")
+            .write.mode("append").parquet(outPath)
+        }
         val fps = fresh.select(col("dup_group").as("fingerprint"))
-        ledger.append(
-          if (retention.isDefined)
-            fps.withColumn("seen_at",
-              clock.fold(current_timestamp())(_ => lit(nowCell.get)))
-          else fps)
+        mark("ledgerAppend") {
+          ledger.append(
+            if (retention.isDefined)
+              fps.withColumn("seen_at",
+                clock.fold(current_timestamp())(_ => lit(nowCell.get)))
+            else fps)
+        }
         fresh.unpersist()
-        ledger.maybeCompact(s)
+        mark("maybeCompact") { ledger.maybeCompact(s) }
         ()
       }
       .start()
@@ -498,38 +511,76 @@ object StreamingEvents {
                      batchCol: org.apache.spark.sql.Column, numBatches: Int,
                      root: String, ledgerTable: Option[String])(
       startSink: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val timing = sys.env.get("SPARK_GRAFT_REPLAY_TIMING").exists(v => v == "1" || v == "true")
+    def mark[A](what: String)(body: => A): A =
+      if (!timing) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[replay-timing] $root $what ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
     val spark = docs.sparkSession
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(rootP, true)
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    ledgerTable.toSeq.flatMap(l => Seq(l, l + "__compacting", l + "__old")).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    mark("clean") {
+      fs.delete(rootP, true)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      ledgerTable.toSeq.flatMap(l => Seq(l, l + "__compacting", l + "__old")).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
     }
 
     val in = new org.apache.hadoop.fs.Path(root, "in")
     fs.mkdirs(in)
-    (0 until numBatches).foreach { b =>
-      val stage = s"$root/stage/b$b"
-      docs.filter(batchCol === lit(b)).coalesce(1)
-        .write.mode("overwrite").parquet(stage)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(sys.error(s"no part file staged for batch $b"))
-      val dst = new org.apache.hadoop.fs.Path(in, f"batch$b%03d.parquet")
-      fs.rename(part, dst)
-      // 60 s forced spacing makes the replay order deterministic
-      // regardless of write latency
-      fs.setTimes(dst, 1000000000000L + b * 60000L, -1)
+    mark("stage") {
+      // ONE pass over the corpus instead of one filter+write job per batch
+      // (optimization guide §1.2/§2.4: the corpus is a multi-branch union of
+      // the source scan, so the per-batch staging loop re-evaluated it
+      // numBatches times — 4×5 source scans for the retention replays). A
+      // single dynamic-partitioned write splits all batches in one job; the
+      // explicit repartition on the batch id keeps exactly one part file
+      // per batch dir (each batch value lives in exactly one task), which
+      // the per-batch rename below requires. The staged FILES are
+      // byte-equivalent in content to the old per-batch writes: the
+      // partition column is synthetic and dropped by partitionBy, so the
+      // data schema stays docs.schema; row order within a file was never
+      // load-bearing (every sink keeper rule orders explicitly).
+      val stage = s"$root/stage"
+      docs.withColumn("__stage_b", batchCol.cast("int"))
+        .repartition(numBatches, col("__stage_b"))
+        .write.mode("overwrite").partitionBy("__stage_b").parquet(stage)
+      (0 until numBatches).foreach { b =>
+        val pdir = new org.apache.hadoop.fs.Path(stage, s"__stage_b=$b")
+        val part = fs.listStatus(pdir)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file staged for batch $b"))
+        val dst = new org.apache.hadoop.fs.Path(in, f"batch$b%03d.parquet")
+        fs.rename(part, dst)
+        // 60 s forced spacing makes the replay order deterministic
+        // regardless of write latency
+        fs.setTimes(dst, 1000000000000L + b * 60000L, -1)
+      }
     }
 
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in.toString)
-    val q = startSink(stream)
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
+    val q = mark("stream") {
+      val q = startSink(stream)
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+      q
+    }
+    if (timing) q.recentProgress.foreach { p =>
+      val d = p.durationMs
+      System.err.println(s"[replay-timing] $root batch=${p.batchId} " +
+        s"rows=${p.numInputRows} trigger=${d.get("triggerExecution")}ms " +
+        s"addBatch=${d.get("addBatch")}ms getBatch=${d.get("getBatch")}ms " +
+        s"latestOffset=${d.get("latestOffset")}ms commit=${d.get("commitOffsets")}ms " +
+        s"walCommit=${d.get("walCommit")}ms")
+    }
     spark.read.parquet(s"$root/out")
   }
 }
