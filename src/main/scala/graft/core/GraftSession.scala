@@ -36,6 +36,17 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // let AQE re-optimize CACHED plans (off by default for output-
+    // partitioning stability): without it every persist() compiles at the
+    // pre-AQE width — with wide-then-coalesce initialPartitionNum (see
+    // tune below) a cached micro-batch pipeline materialized ~254 near-
+    // empty partitions, and every downstream write fanned out into one
+    // tiny file per partition (measured: the sq replay sinks appended 254
+    // files per batch, 1016-file outputs). The repo's correctness never
+    // depends on cached-plan output partitioning (ids come from explicit
+    // repartition/sort, never from a cache's layout), so the stability
+    // default protects nothing here and costs the coalesce everywhere.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
 
   /** Start AQE shuffles this many times wider than the cluster's default
     * parallelism, floored at 256, and let runtime coalescing shrink them:
@@ -76,6 +87,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       initialShufflePartitions(spark.sparkContext.defaultParallelism).toString)
     spark
