@@ -61,7 +61,7 @@ object MinHash {
     * derives from this — persisted, the corpus is tokenized ONCE instead of
     * once per phase, which at 100 TB is the difference between one and three
     * full text scans. */
-  private def hashedBase(docs: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
+  private[graft] def hashedBase(docs: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
     docs.select(col(idCol).as("__id"), TextFunctions.tokens(text).as("__toks"))
       .withColumn("__hs", array_distinct(transform(
         TextFunctions.shinglesFromTokens(col("__toks"), n), s => xxhash64(s))))
@@ -197,11 +197,28 @@ object MinHash {
                      maxBucketSize: Option[Int] = None,
                      exactStar: Boolean = false): DataFrame = {
     // One tokenize pass for the whole operator: the persisted base feeds the
-    // LSH signatures, the exact fingerprints AND the verify join. Candidate
-    // pairs are also persisted — a tiny fraction of the corpus — so the
-    // verify join doesn't re-run the banding plan.
+    // LSH signatures, the exact fingerprints AND the verify join.
     val base = hashedBase(docs, idCol, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    graft.core.OperatorCaches.owned(
+      nearDuplicatesFromBase(base, threshold, n, bands, rowsPerBand, seed,
+        maxBucketSize, exactStar),
+      Seq(base))
+  }
+
+  /** [[nearDuplicates]] over a caller-managed persisted [[hashedBase]] —
+    * for pipelines that need the tokenized base for MORE than the pair
+    * search (the streaming near-dup sink also derives the survivors' ledger
+    * signatures from it; recomputing them from text was a second full
+    * tokenize→shingle→hash→minhash pass over every batch). The CALLER owns
+    * `base`'s cache lifecycle; this method only manages its internal
+    * candidate-pair cache. Candidate pairs are persisted — a tiny fraction
+    * of the corpus — so the verify join doesn't re-run the banding plan. */
+  private[graft] def nearDuplicatesFromBase(base: DataFrame, threshold: Double,
+                                            n: Int, bands: Int, rowsPerBand: Int,
+                                            seed: Long,
+                                            maxBucketSize: Option[Int],
+                                            exactStar: Boolean): DataFrame = {
     // recovery only runs when a bucket actually exceeded the cap — when none
     // did, the guarded plan IS the plain banded plan and every LSH-findable
     // pair (including identical docs) is already in `lsh`
@@ -211,6 +228,6 @@ object MinHash {
     graft.core.OperatorCaches.owned(
       Dedup.jaccardFromHashed(cands, base.select(col("__id"), col("__hs")))
         .filter(col("jaccard") >= threshold),
-      Seq(base, cands))
+      Seq(cands))
   }
 }

@@ -341,19 +341,30 @@ final case class BucketedLedger(table: String, buckets: Int,
     * bucket keys so each append adds at most `buckets` files — without it a
     * W-task write adds up to W × buckets files, compaction or not. */
   def append(rows: DataFrame): Unit = {
+    val timing = sys.env.get("SPARK_GRAFT_REPLAY_TIMING").exists(v => v == "1" || v == "true")
+    def mark[A](what: String)(body: => A): A =
+      if (!timing) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[append-timing] $table $what ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
     val spark = rows.sparkSession
-    recover(spark)
-    requireBucketSpec(spark)
+    mark("recover") { recover(spark) }
+    mark("spec") { requireBucketSpec(spark) }
     // re-plan the rows in the AQE-off clone (the upstream compute still
     // runs under the caller's conf — only the write exchange must not be
     // re-planned); ledger rows are key+signature sized, so the RDD
     // round-trip is noise
-    val w = writeSession(spark)
-    w.createDataFrame(rows.rdd, rows.schema)
-      .repartition(buckets, keys.map(col): _*)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    val w = mark("clone") { writeSession(spark) }
+    mark("write") {
+      w.createDataFrame(rows.rdd, rows.schema)
+        .repartition(buckets, keys.map(col): _*)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .saveAsTable(table)
+    }
   }
 
   /** Data-file count straight off the filesystem — NOT

@@ -235,22 +235,37 @@ object StreamingEvents {
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val timing = sys.env.get("SPARK_GRAFT_REPLAY_TIMING").exists(v => v == "1" || v == "true")
+        def mark[A](what: String)(body: => A): A =
+          if (!timing) body
+          else {
+            val t0 = System.nanoTime()
+            val r = body
+            System.err.println(f"[batch-timing] nearDup b=$batchId $what ${(System.nanoTime() - t0) / 1e9}%.3f s")
+            r
+          }
         clock.foreach(c => nowCell.set(c(batchId)))
         val s = batch.sparkSession
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val kept = nearDupBatch(b, idCol, textCol, threshold, n, bands,
+        val kept = mark("nearDupBatch") {
+          nearDupBatch(b, idCol, textCol, threshold, n, bands,
             rowsPerBand, seed, maxBucketSize, ledger)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
         // survivors to the output, their banded signatures to the ledger
-        kept.drop("__sig").write.mode("append").parquet(outPath)
+        mark("outWrite") {
+          kept.drop("__sig").write.mode("append").parquet(outPath)
+        }
         val banded = bandedSignatures(kept, bands, rowsPerBand)
-        ledger.append(
-          if (retention.isDefined)
-            banded.withColumn("seen_at",
-              clock.fold(current_timestamp())(_ => lit(nowCell.get)))
-          else banded)
+        mark("ledgerAppend") {
+          ledger.append(
+            if (retention.isDefined)
+              banded.withColumn("seen_at",
+                clock.fold(current_timestamp())(_ => lit(nowCell.get)))
+            else banded)
+        }
         kept.unpersist(); b.unpersist()
-        ledger.maybeCompact(s)
+        mark("maybeCompact") { ledger.maybeCompact(s) }
         ()
       }
       .start()
@@ -283,10 +298,19 @@ object StreamingEvents {
     val s = b.sparkSession
     val k = bands * rowsPerBand
 
+    // ONE tokenize pass per batch: the persisted base feeds the intra-batch
+    // pair search AND the survivors' ledger signatures below — recomputing
+    // the signatures from text (the pre-r15 shape) was a second full
+    // tokenize→shingle→hash→minhash pass over every micro-batch. The base
+    // cache is owned against this method's RESULT, so it releases on the
+    // sink's first action over the kept rows.
+    val base = graft.dedup.MinHash.hashedBase(b, idCol, col(textCol), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
     // (1) intra-batch: full batch operator (exact-Jaccard verified),
     // cluster keeper = component min id
-    val pairs = graft.dedup.MinHash.nearDuplicates(b, idCol, col(textCol),
-      threshold, n, bands, rowsPerBand, seed, maxBucketSize, exactStar = true)
+    val pairs = graft.dedup.MinHash.nearDuplicatesFromBase(base, threshold,
+      n, bands, rowsPerBand, seed, maxBucketSize, exactStar = true)
     val comps = graft.dedup.Dedup.connectedComponents(pairs, "left_id", "right_id")
     val intra = b.join(
       comps.filter(col("node") =!= col("component"))
@@ -297,8 +321,13 @@ object StreamingEvents {
     // stored bands (ledger side: bucketed scan, no shuffle), drop docs
     // whose slot-agreement estimate reaches the threshold. try_element_at
     // skips sub-n-token sentinel signatures (value -1 in slot 1).
-    val sigs = intra.withColumn("__sig",
-      graft.dedup.MinHash.signature(col(textCol), n, k, seed))
+    // Signatures come from the shared base (bit-identical to
+    // MinHash.signature on the same text — see signatureFromHashed); the
+    // equi-join on the unique doc id replaces the re-tokenization.
+    val sigs = intra.join(
+      base.select(col("__id").as(idCol),
+        graft.dedup.MinHash.signatureFromHashed(col("__hs"), k, seed).as("__sig")),
+      Seq(idCol))
     val batchBands = sigs.select(col(idCol), col("__sig"))
       .filter(try_element_at(col("__sig"), lit(1)) =!= -1L)
       .select(col(idCol), col("__sig"),
@@ -314,7 +343,8 @@ object StreamingEvents {
         Seq("band_idx", "band_hash"))
       .filter(est >= threshold)
       .select(idCol).distinct()
-    sigs.join(dropIds, Seq(idCol), "left_anti")
+    graft.core.OperatorCaches.owned(
+      sigs.join(dropIds, Seq(idCol), "left_anti"), Seq(base))
   }
 
   /** Kept rows → their ledger rows: one (band_idx, band_hash, sig) row per
