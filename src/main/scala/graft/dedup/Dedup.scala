@@ -132,6 +132,27 @@ object Dedup {
           .as("__e"))
         .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct())
+    // DRIVER tier (r15 optimization): below the edge cap the whole loop —
+    // per-round join + aggregate + localCheckpoint + convergence action,
+    // 4-6 driver-coordinated jobs even on a 2-row input — costs far more
+    // than a driver-side union-find over a few MB of collected edges.
+    // Micro-batch dedup (the streaming near-dup sink runs a CC per batch)
+    // and small-corpus calls take this path; at corpus scale the count
+    // exceeds the cap and nothing changes. Bounded by construction
+    // (cap × ~32 B rows, default ≤ 2 MB on the driver) — the same
+    // justified-bounded-collect pattern as the IVF centroid guard. The
+    // count itself reads the just-checkpointed edges, no recompute.
+    val driverCap = graft.core.Tunables.long(pairs.sparkSession,
+      "spark.graft.cc.driverEdgeCap", DriverEdgeCap)
+    val nEdges = edges.count()
+    if (nEdges <= driverCap) {
+      driverComponents(edges, nEdges) match {
+        case Some(labels) => return labels
+        case None => // unsupported id type — fall through to the loop
+      }
+    } else {
+      graft.core.Decisions.record(s"cc.driverTier(edges=$nEdges)", false)
+    }
     // seed with min(self, neighbors): exactly the fixpoint of round 1 under
     // identity labels (the label-of-label jump is the identity there), fused
     // into the node-extraction aggregation — one full join round saved, and
@@ -191,6 +212,63 @@ object Dedup {
           "more; raise maxIterations")
     graft.core.Decisions.record("cc.iterations", iter)
     labels
+  }
+
+  /** Edge-count ceiling for [[connectedComponents]]' driver union-find tier
+    * (`spark.graft.cc.driverEdgeCap` overrides). 64k bidirectional edge rows
+    * ≈ 2 MB collected — comfortably bounded — while every micro-batch or
+    * small-corpus CC below it saves the loop's 4-6 driver-coordinated jobs. */
+  val DriverEdgeCap = 65536L
+
+  /** Driver-side min-label union-find over a bounded, already-materialized
+    * edge set — produces EXACTLY the fixpoint of the distributed loop: one
+    * row per node appearing in `edges`, `component` = minimum reachable id
+    * under the same ordering `least()` uses (numeric for integral ids,
+    * binary UTF8 for strings — [[org.apache.spark.unsafe.types.UTF8String]]
+    * compares bytewise exactly like Spark's string ordering). Returns None
+    * for id types without a replicated comparator here (the distributed
+    * loop handles any orderable type). */
+  private def driverComponents(edges: DataFrame, nEdges: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val spark = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    val cmp: Option[(Any, Any) => Int] = idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some((a, b) => java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue()))
+      case StringType =>
+        Some((a, b) => org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])))
+      case _ => None
+    }
+    cmp.map { lt =>
+      graft.core.Decisions.record(s"cc.driverTier(edges=$nEdges)", true)
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val s = row.get(0); val d = row.get(1)
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) { if (lt(rs, rd) <= 0) parent.put(rd, rs) else parent.put(rs, rd) }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val n = it.next()
+        rows.add(org.apache.spark.sql.Row(n, find(n)))
+      }
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("node", idType), StructField("component", idType))))
+    }
   }
 
   /** All within-group candidate pairs (leftId < rightId) for a grouping key —

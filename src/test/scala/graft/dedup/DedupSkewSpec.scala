@@ -161,9 +161,20 @@ class DedupSkewSpec extends SparkSpecBase {
     // clean cap → split short-circuits to the plain plan
     Dedup.ngramJaccardBlocked(docs, "doc_id", col("source"), col("text"),
       n = 3, threshold = 0.2, maxShingleDocFreq = Some(10000)).count()
-    // tiny graph → CC broadcast cutover fires on round 1
+    // tiny graph → the r15 driver union-find tier takes it
     Dedup.connectedComponents(
       Seq((1L, 2L), (2L, 3L)).toDF("left_id", "right_id"), "left_id", "right_id").count()
+    // the driver-tier decision is keyed by edge count and overwritten by the
+    // disabled-tier run below — assert it before re-running
+    assert(graft.core.Decisions.snapshot
+      .get("cc.driverTier(edges=4)").contains("true"),
+      graft.core.Decisions.snapshot)
+    // same graph with the tier disabled → the distributed loop's broadcast
+    // cutover fires on round 1 (the pre-r15 decision trail)
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "-1")
+    try Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("left_id", "right_id"), "left_id", "right_id").count()
+    finally spark.conf.unset("spark.graft.cc.driverEdgeCap")
     val d = graft.core.Decisions.snapshot
     assert(d.get("skewGuard(band_idx+band_hash,cap=5).capActive").contains("true"), d)
     assert(d.get("ngram.frequentSplit(cap=10000).active").contains("false"), d)
