@@ -45,6 +45,28 @@ object TransitiveClosure {
         .distinct()
         .withColumn("depth", lit(1)))
 
+      // DRIVER tier (r15 optimization, mirroring connectedComponents'): each
+      // distributed round costs a join + anti-join + localCheckpoint + a
+      // convergence action — fixed driver-coordinated overhead that dwarfs
+      // the actual work on small hierarchies. Below the edge cap the same
+      // semi-naive evaluation runs in driver memory (equality/hashing only,
+      // so any id type), bailing back to the loop if the closure outgrows
+      // the pair cap (work and memory stay bounded either way; the bail
+      // recomputes distributed — only pathological fan-out pays it twice,
+      // and only once per call). BFS rounds discover each pair at its
+      // minimum depth, exactly the loop's min(depth) fixpoint.
+      val driverCap = graft.core.Tunables.long(spark,
+        "spark.graft.closure.driverEdgeCap", DriverEdgeCap)
+      val nEdges = base.count()
+      if (nEdges <= driverCap) {
+        driverClosure(base) match {
+          case Some(out) => return out
+          case None => // pair cap exceeded — fall through to the loop
+        }
+      } else {
+        graft.core.Decisions.record(s"closure.driverTier(edges=$nEdges)", false)
+      }
+
       var acc = base
       var frontier = acc
       var iter = 0
@@ -72,5 +94,72 @@ object TransitiveClosure {
         case None    => spark.conf.unset(ConstraintConf)
       }
     }
+  }
+
+  /** Edge-count ceiling for the driver tier
+    * (`spark.graft.closure.driverEdgeCap` overrides): 16k distinct edges
+    * collect to well under a MB. */
+  val DriverEdgeCap = 16384L
+
+  /** Closure-size bail for the driver tier
+    * (`spark.graft.closure.driverPairCap` overrides): a closure past 2M
+    * pairs goes back to the distributed loop — the driver never holds more
+    * than the cap. */
+  val DriverPairCap = 2000000L
+
+  /** Driver-side semi-naive closure over a bounded, already-materialized
+    * edge set — exactly the distributed loop's fixpoint: BFS rounds reach
+    * each (descendant, ancestor) pair first at its MINIMUM depth, which is
+    * what the loop's final `min(depth)` aggregation selects. Ids only need
+    * equality/hashing here, so every id type the loop supports works.
+    * Returns None when the closure exceeds the pair cap (caller falls back
+    * to the loop). */
+  private def driverClosure(base: DataFrame): Option[DataFrame] = {
+    val spark = base.sparkSession
+    val pairCap = graft.core.Tunables.long(spark,
+      "spark.graft.closure.driverPairCap", DriverPairCap)
+    val rows = base.collect()
+    graft.core.Decisions.record(s"closure.driverTier(edges=${rows.length})", true)
+    // child → parents adjacency
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    rows.foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]()).add(r.get(1))
+    }
+    // (descendant, ancestor) → min depth; frontier = last round's new pairs
+    val best = new java.util.HashMap[(Any, Any), Int]()
+    var frontier = new java.util.ArrayList[(Any, Any, Int)](rows.length)
+    rows.foreach { r =>
+      val k = (r.get(0), r.get(1))
+      if (best.putIfAbsent(k, 1) == null) frontier.add((r.get(0), r.get(1), 1))
+    }
+    while (!frontier.isEmpty) {
+      val next = new java.util.ArrayList[(Any, Any, Int)]()
+      val it = frontier.iterator()
+      while (it.hasNext) {
+        val (d, a, dep) = it.next()
+        val ps = adj.get(a)
+        if (ps != null) {
+          val pit = ps.iterator()
+          while (pit.hasNext) {
+            val p = pit.next()
+            val k = (d, p)
+            if (best.putIfAbsent(k, dep + 1) == null) next.add((d, p, dep + 1))
+          }
+        }
+      }
+      if (best.size() > pairCap) {
+        graft.core.Decisions.record(
+          s"closure.driverTier.pairCapExceeded(pairs=${best.size()})", true)
+        return None
+      }
+      frontier = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](best.size())
+    val bit = best.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      out.add(org.apache.spark.sql.Row(e.getKey._1, e.getKey._2, e.getValue))
+    }
+    Some(spark.createDataFrame(out, base.schema))
   }
 }

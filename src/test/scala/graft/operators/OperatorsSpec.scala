@@ -198,4 +198,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(("a", "c")) == 1) // direct edge wins over a→b→c
     assert(out.size == 6) // ab ac ad bc bd cd (a→c duplicate path collapsed)
   }
+
+  test("TransitiveClosure driver tier equals the distributed loop exactly") {
+    // diamond + chain + cycle: min-depth collapses, multi-round convergence,
+    // and cycle termination all exercised; the conf cap forces the loop
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+        ("x1", "x2"), ("x2", "x3"), ("x3", "x4"), ("x4", "x5"),
+        ("p", "q"), ("q", "p"))
+      .toDF("child", "parent")
+    def run(): Set[(String, String, Int)] =
+      TransitiveClosure.closure(edges, "child", "parent")
+        .collect()
+        .map(r => (r.getAs[String]("descendant"), r.getAs[String]("ancestor"),
+          r.getAs[Int]("depth"))).toSet
+    val driver = run() // default cap: the driver tier takes this input
+    assert(graft.core.Decisions.snapshot
+      .get("closure.driverTier(edges=10)").contains("true"))
+    spark.conf.set("spark.graft.closure.driverEdgeCap", "-1")
+    val distributed = try run()
+    finally spark.conf.unset("spark.graft.closure.driverEdgeCap")
+    assert(driver == distributed)
+    // pair-cap bail falls back to the loop and still agrees
+    spark.conf.set("spark.graft.closure.driverPairCap", "3")
+    val bailed = try run()
+    finally spark.conf.unset("spark.graft.closure.driverPairCap")
+    assert(bailed == distributed)
+  }
 }
