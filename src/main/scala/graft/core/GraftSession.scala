@@ -36,17 +36,16 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
-    // let AQE re-optimize CACHED plans (off by default for output-
-    // partitioning stability): without it every persist() compiles at the
-    // pre-AQE width — with wide-then-coalesce initialPartitionNum (see
-    // tune below) a cached micro-batch pipeline materialized ~254 near-
-    // empty partitions, and every downstream write fanned out into one
-    // tiny file per partition (measured: the sq replay sinks appended 254
-    // files per batch, 1016-file outputs). The repo's correctness never
-    // depends on cached-plan output partitioning (ids come from explicit
-    // repartition/sort, never from a cache's layout), so the stability
-    // default protects nothing here and costs the coalesce everywhere.
-    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // NOTE (r15 optimization round): `canChangeCachedPlanOutputPartitioning`
+    // is deliberately LEFT AT SPARK'S DEFAULT (false) session-wide. Measured
+    // A/B at sf0.1/32: enabling it globally let AQE coalesce the dedup/ANN
+    // operators' corpus-scale persisted intermediates to a handful of
+    // partitions, serializing the tokenize/shingle-heavy consumers behind
+    // them (ngram1 2.79→3.41 s, knn3 3.43→4.79 s, dedup2 2.20→2.83 s,
+    // same window). The streaming dedup sinks — where the un-coalesced
+    // cache was measured to fan 254 near-empty partitions into 254 output
+    // files per micro-batch — enable it on their own cloned stream session
+    // instead (see StreamingEvents.enableCachedPlanAqe).
 
   /** Start AQE shuffles this many times wider than the cluster's default
     * parallelism, floored at 256, and let runtime coalescing shrink them:
@@ -87,7 +86,6 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       initialShufflePartitions(spark.sparkContext.defaultParallelism).toString)
     spark
