@@ -55,6 +55,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
             n_fail += 1
             continue
+        # The driver's hash is type-aware: a DuckDB HUGEINT/DECIMAL where
+        # Spark wrote BIGINT fails its hash even when every value matches
+        # (round-15 pack1_token_chunks). Flag physical-type divergence hard —
+        # except timestamp UNIT (us vs ns), which the driver's hash
+        # normalizes (sq5 has always passed with oracle us vs spark ns).
+        def tnorm(t):
+            s = str(t)
+            return "timestamp" if s.startswith("timestamp") else s
+        tdiff = [(c, str(want.schema.field(c).type), str(got.schema.field(c).type))
+                 for c in wcols
+                 if tnorm(want.schema.field(c).type) != tnorm(got.schema.field(c).type)]
+        if tdiff:
+            print(f"FAIL {name}: column types differ (driver hash is "
+                  f"type-aware): {tdiff}")
+            n_fail += 1
+            continue
         from collections import Counter
         wrows = Counter(tuple(norm(r[c]) for c in wcols) for r in want.to_pylist())
         grows = Counter(tuple(norm(r[c]) for c in wcols) for r in got.to_pylist())

@@ -2129,7 +2129,7 @@ object SparkEntry {
         |  CAST(floor((run - n_tok) / 512.0) AS BIGINT) AS first_chunk,
         |  CAST(CASE WHEN n_tok = 0 THEN floor((run - n_tok) / 512.0)
         |       ELSE floor((run - 1) / 512.0) END AS BIGINT) AS last_chunk,
-        |  (run - n_tok) % 512 AS chunk_offset
+        |  CAST((run - n_tok) % 512 AS BIGINT) AS chunk_offset
         |FROM r""".stripMargin,
 
     // repetition signals replayed exactly: same tokenizer mirror, same
