@@ -59,7 +59,7 @@ object TransitiveClosure {
         "spark.graft.closure.driverEdgeCap", DriverEdgeCap)
       val nEdges = base.count()
       if (nEdges <= driverCap) {
-        driverClosure(base) match {
+        driverClosure(base, maxIterations) match {
           case Some(out) => return out
           case None => // pair cap exceeded — fall through to the loop
         }
@@ -110,16 +110,26 @@ object TransitiveClosure {
   /** Driver-side semi-naive closure over a bounded, already-materialized
     * edge set — exactly the distributed loop's fixpoint: BFS rounds reach
     * each (descendant, ancestor) pair first at its MINIMUM depth, which is
-    * what the loop's final `min(depth)` aggregation selects. Ids only need
+    * what the loop's final `min(depth)` aggregation selects, and the round
+    * count is bounded by the SAME `maxIterations` as the loop, so a small
+    * bound truncates both paths at identical depth. Ids only need
     * equality/hashing here, so every id type the loop supports works.
     * Returns None when the closure exceeds the pair cap (caller falls back
-    * to the loop). */
-  private def driverClosure(base: DataFrame): Option[DataFrame] = {
+    * to the loop); the cap is enforced INSIDE the expansion loop — a hub
+    * graph under the edge cap can mint millions of pairs in one round, so
+    * a between-rounds check alone would let the driver overshoot the cap
+    * by orders of magnitude before noticing. */
+  private def driverClosure(base: DataFrame, maxIterations: Int): Option[DataFrame] = {
     val spark = base.sparkSession
     val pairCap = graft.core.Tunables.long(spark,
       "spark.graft.closure.driverPairCap", DriverPairCap)
     val rows = base.collect()
     graft.core.Decisions.record(s"closure.driverTier(edges=${rows.length})", true)
+    def bail(): Option[DataFrame] = {
+      graft.core.Decisions.record(
+        s"closure.driverTier.pairCapExceeded(pairs>$pairCap)", true)
+      None
+    }
     // child → parents adjacency
     val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
     rows.foreach { r =>
@@ -132,7 +142,12 @@ object TransitiveClosure {
       val k = (r.get(0), r.get(1))
       if (best.putIfAbsent(k, 1) == null) frontier.add((r.get(0), r.get(1), 1))
     }
-    while (!frontier.isEmpty) {
+    // round r expands depth-r pairs to depth r+1 — exactly the distributed
+    // loop's iteration r, so stopping after maxIterations rounds truncates
+    // at the same depth the loop would
+    var round = 0
+    while (!frontier.isEmpty && round < maxIterations) {
+      round += 1
       val next = new java.util.ArrayList[(Any, Any, Int)]()
       val it = frontier.iterator()
       while (it.hasNext) {
@@ -143,14 +158,12 @@ object TransitiveClosure {
           while (pit.hasNext) {
             val p = pit.next()
             val k = (d, p)
-            if (best.putIfAbsent(k, dep + 1) == null) next.add((d, p, dep + 1))
+            if (best.putIfAbsent(k, dep + 1) == null) {
+              next.add((d, p, dep + 1))
+              if (best.size() > pairCap) return bail()
+            }
           }
         }
-      }
-      if (best.size() > pairCap) {
-        graft.core.Decisions.record(
-          s"closure.driverTier.pairCapExceeded(pairs=${best.size()})", true)
-        return None
       }
       frontier = next
     }

@@ -113,6 +113,24 @@ class ReplaySpec extends SparkSpecBase {
     assert(ex.getMessage.contains("no clock was injected"))
   }
 
+  test("replay handles an EMPTY batch id (dynamic partitionBy writes no dir)") {
+    // batch 1 has zero rows: the one-pass dynamic-partitioned staging emits
+    // no __stage_b=1 directory, so the guard must stage an empty parquet
+    // file for it (the old per-batch coalesce(1) writes did implicitly) —
+    // the replay still triggers 3 batches and the keeper set is unchanged
+    val sparse = Seq( // batch = doc_id % 3; no id with doc_id % 3 == 1
+      (0L, "alpha doc one two three"),
+      (6L, "alpha doc one two three"),
+      (3L, "beta doc four five six"),
+      (2L, "gamma doc seven eight nine"),
+      (5L, "gamma doc seven eight nine"))
+    val out = StreamingEvents.replayExactDedup(
+      sparse.toDF("doc_id", "text"), "text", keepOrder = Seq("doc_id"),
+      batchCol = pmod(col("doc_id"), lit(3)), numBatches = 3,
+      root = "/tmp/graft-replay-spec-empty", ledgerTable = "replay_spec_empty")
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(0L, 3L, 2L))
+  }
+
   test("replay is idempotent across re-runs (state cleaned on entry)") {
     val run = () => StreamingEvents.replayExactDedup(
       corpus.toDF("doc_id", "text"), "text", keepOrder = Seq("doc_id"),
