@@ -238,6 +238,15 @@ object StreamingEvents {
    *
    * Delivery matches [[exactDedupSink]]: at-least-once on retry, duplicates
    * bounded by one failed batch, ledger append idempotent for later batches.
+   *
+   * CONTRACT: `idCol` must uniquely identify a document WITHIN each
+   * micro-batch. The shared-base signature join attaches each kept row's
+   * ledger signature by an equi-join on the id, so duplicate ids in one
+   * batch would fan output rows out multiplicatively (and the intra-batch
+   * component keeper already assumes id-identity). An id-dedup guard here
+   * was measured at ~15-20% of the whole sink (one extra exchange per
+   * micro-batch, r16 A/B) — malformed input is not worth taxing every
+   * batch; dedupe upstream if ids can repeat.
    */
   def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double, outPath: String, ledgerTable: String,
@@ -345,15 +354,9 @@ object StreamingEvents {
     // Signatures come from the shared base (bit-identical to
     // MinHash.signature on the same text — see signatureFromHashed); the
     // equi-join on the unique doc id replaces the re-tokenization.
-    // dropDuplicates keeps the join 1:1 on the id: a micro-batch carrying
-    // duplicate doc ids would otherwise fan out multiplicatively here
-    // (rows were handled independently before the shared-base refactor).
-    // The dedup rides the same exchange the join needs, so it costs one
-    // partial-agg pass over batch-sized (id, sig) rows, not a new shuffle.
     val sigs = intra.join(
       base.select(col("__id").as(idCol),
-        graft.dedup.MinHash.signatureFromHashed(col("__hs"), k, seed).as("__sig"))
-        .dropDuplicates(idCol),
+        graft.dedup.MinHash.signatureFromHashed(col("__hs"), k, seed).as("__sig")),
       Seq(idCol))
     val batchBands = sigs.select(col(idCol), col("__sig"))
       .filter(try_element_at(col("__sig"), lit(1)) =!= -1L)
@@ -660,31 +663,44 @@ object StreamingEvents {
     // the byte-derived width serialized it — measured same-window A/B at
     // sf0.1/32: sq2 min 7.7 → 9.8 s, sq4 min 7.3 → 9.8 s with width 1,
     // while sq1/sq3 stayed flat. They keep the caller session's width.
-    val stream =
-      if (!stateful) {
-        spark.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(in.toString)
-      } else {
-        val maxBatchBytes = (0 until numBatches).map { b =>
-          fs.getFileStatus(
-            new org.apache.hadoop.fs.Path(in, f"batch$b%03d.parquet")).getLen
-        }.max
-        val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-          spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
-        val parentWidth = spark.conf.get("spark.sql.shuffle.partitions",
-          spark.sparkContext.defaultParallelism.toString).toInt
-        val width = math.max(1L, math.min(parentWidth.toLong,
-          (maxBatchBytes + advisory - 1) / advisory)).toInt
-        if (timing) System.err.println(
-          s"[replay-timing] $root stateful width=$width (maxBatchBytes=" +
-            s"$maxBatchBytes, advisory=$advisory, parentWidth=$parentWidth)")
-        val ss = graft.core.GraftSession.tune(spark.newSession())
-        ss.conf.set("spark.sql.shuffle.partitions", width.toString)
-        ss.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-          width.toString)
-        ss.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(in.toString)
-      }
+    val maxBatchBytes = (0 until numBatches).map { b =>
+      fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(in, f"batch$b%03d.parquet")).getLen
+    }.max
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val parentWidth = spark.conf.get("spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString).toInt
+    val byBytes = (maxBatchBytes + advisory - 1) / advisory
+    val ss = graft.core.GraftSession.tune(spark.newSession())
+    if (stateful) {
+      // state-store partitions = shuffle width at query start: size them to
+      // the data, floored at 1 and capped at the caller's width
+      val width = math.max(1L, math.min(parentWidth.toLong, byBytes)).toInt
+      if (timing) System.err.println(
+        s"[replay-timing] $root stateful width=$width (maxBatchBytes=" +
+          s"$maxBatchBytes, advisory=$advisory, parentWidth=$parentWidth)")
+      ss.conf.set("spark.sql.shuffle.partitions", width.toString)
+      ss.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        width.toString)
+    } else {
+      // foreachBatch replays keep the caller's shuffle width (their
+      // per-batch cost is CPU-parallel compute — see the header comment)
+      // but bound AQE's wide-then-coalesce INITIAL width by the batch
+      // bytes instead of inheriting the corpus-scale 8×parallelism
+      // insurance: a micro-batch's spill exposure is its own bytes, so the
+      // initial width grows past the caller's only when the batches do.
+      val initial = math.max(parentWidth.toLong,
+        math.min(8L * parentWidth, byBytes)).toInt
+      if (timing) System.err.println(
+        s"[replay-timing] $root foreachBatch initialPartitionNum=$initial " +
+          s"(maxBatchBytes=$maxBatchBytes, advisory=$advisory, " +
+          s"parentWidth=$parentWidth)")
+      ss.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initial.toString)
+    }
+    val stream = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
     val q = mark("stream") {
       val q = startSink(stream)
       try {
