@@ -110,9 +110,46 @@ object Tables {
     if (use) Some(spark.table(t)) else None
   }
 
+  /** Process-level parquet SCHEMA memo for [[load]] (r16, guide §1.2/§6):
+    * `spark.read.parquet(p)` runs a footer-reading schema-inference job on
+    * EVERY call — measured 75-90 ms per call on this host, and the bench's
+    * ~120 table references paid it ~120 times for 4 distinct tables
+    * (~10 s of the 75-query suite; the dominant share of the ~0.2 s
+    * per-cheap-query floor). The memo caches only METADATA (the inferred
+    * StructType — what a catalog/metastore holds for every production
+    * table; at 100 TB nobody schema-infers per query), keyed on the
+    * canonical path PLUS the file status (length, mtime), so a path
+    * rewritten with different contents re-infers. Data is re-read from
+    * parquet on every action as before — this caches no rows, no plans,
+    * no results. Bounded: cleared past 256 entries (rewrites under the
+    * same path retire old keys). */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+
+  private def readParquet(spark: SparkSession, p: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val st =
+      try Some(fs.getFileStatus(hp))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case Some(s) =>
+        val key = (p, s.getLen, s.getModificationTime)
+        val cached = schemaMemo.get(key)
+        if (cached != null) spark.read.schema(cached).parquet(p)
+        else {
+          val df = spark.read.parquet(p)
+          if (schemaMemo.size() > 256) schemaMemo.clear()
+          schemaMemo.put(key, df.schema)
+          df
+        }
+      case None => spark.read.parquet(p) // surface the standard path error
+    }
+  }
+
   /** Raw scan of one table dir (reference spark_utils.py:247). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(path(dir, name))
+    val df = readParquet(spark, path(dir, name))
     // TIMESTAMP(NANOS) columns arrive as LongType under nanosAsLong=true;
     // restore TimestampType at micro precision. Convention: nano-epoch longs
     // are ~1e18, so only convert columns the writer marked as timestamps —
