@@ -355,11 +355,14 @@ final case class BucketedLedger(table: String, buckets: Int,
     mark("spec") { requireBucketSpec(spark) }
     // re-plan the rows in the AQE-off clone (the upstream compute still
     // runs under the caller's conf — only the write exchange must not be
-    // re-planned); ledger rows are key+signature sized, so the RDD
-    // round-trip is noise
+    // re-planned). Re-bind the ANALYZED plan instead of round-tripping
+    // through `.rdd` (r16): the RDD path deserializes every row to
+    // external format and severs the shared CacheManager, so the sinks'
+    // persisted micro-batch was re-read through a deserializer on every
+    // ledger append; the re-bound plan stays columnar off the cache.
     val w = mark("clone") { writeSession(spark) }
     mark("write") {
-      w.createDataFrame(rows.rdd, rows.schema)
+      org.apache.spark.sql.graftbridge.DatasetBridge.rebind(rows, w)
         .repartition(buckets, keys.map(col): _*)
         .write.mode("append").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
